@@ -1,0 +1,235 @@
+"""Hierarchical tile index (H3/S2-style) — the engine's working grid.
+
+This replaces RIOS's ``PixelGridDefn`` + ``makeWorkingGrid`` +
+``makeBlockList`` (reference: rios/pixelgrid.py:34-97,
+rios/applier.py:1226-1326): where RIOS partitions a raster into
+fixed 256x256 pixel blocks, we partition the globe into a hierarchical
+equal-angle quadtree of cells and use the cell id as the Spark
+partition / shuffle / join key.
+
+Design notes (Spark-first):
+
+- A cell id is ONE BIGINT: ``res * 2^58 + y * 2^29 + x`` with the grid
+  at resolution ``r`` being ``2^r x 2^r`` over lon [-180,180] x
+  lat [-90,90] (y counted from the north edge, like raster rows).
+  Resolution 0..28. Children of a cell are the 4 cells at res+1 inside
+  it (exact quadtree: parent = x>>1, y>>1), k-rings are the square
+  neighbourhoods (x wraps around the antimeridian, y clamps at poles).
+- Cell assignment is PURE INTEGER/FP ARITHMETIC — expressible as
+  built-in Spark SQL expressions (JVM-side, whole-stage codegen, no
+  Python) AND as identical ANSI SQL for the DuckDB correctness oracle.
+  All three implementations below (numpy / Spark Column / SQL text)
+  perform the exact same IEEE-754 operations in the same order, so
+  tile assignments are bit-identical across engines.
+- The numpy implementations are used inside Arrow-vectorized kernels
+  (k-ring enumeration, polyfill) where per-tile set logic is needed.
+
+Why not real H3: the container has no h3 wheel, and the engine only
+needs the four properties the applier model relies on — stable integer
+cell ids, an exact parent/child hierarchy (pyramids, adaptive split),
+k-ring neighbourhoods (overlap margins), and polygon covers (PIP
+prefilter). An equal-angle quadtree provides all four with exact
+integer math; swapping in H3/S2 later only changes this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 28
+RES_MUL = 1 << 58
+Y_MUL = 1 << 29
+
+# ---------------------------------------------------------------------------
+# numpy reference implementation (vectorized; used inside pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def np_cell(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized cell assignment. lat/lon float64 arrays -> int64 cells."""
+    n = float(1 << res)  # exact power of two -> multiplication is exact
+    x = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n)
+    y = np.floor((90.0 - np.asarray(lat, np.float64)) / 180.0 * n)
+    x = np.clip(x, 0, n - 1).astype(np.int64)
+    y = np.clip(y, 0, n - 1).astype(np.int64)
+    return res * RES_MUL + y * Y_MUL + x
+
+
+def np_decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell -> (res, y, x)."""
+    cell = np.asarray(cell, np.int64)
+    res = cell // RES_MUL
+    rem = cell - res * RES_MUL
+    y = rem // Y_MUL
+    x = rem - y * Y_MUL
+    return res, y, x
+
+
+def np_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    res, y, x = np_decode(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be <= cell res")
+    return parent_res * RES_MUL + (y >> shift) * Y_MUL + (x >> shift)
+
+
+def np_kring(cell: int, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k of `cell` (incl. itself).
+
+    x wraps across the antimeridian; rows beyond the poles are dropped.
+    This is the analogue of RIOS's margin-expanded read window
+    (rios/imagereader.py:94-96).
+    """
+    res, y, x = np_decode(np.asarray([cell]))
+    res, y, x = int(res[0]), int(y[0]), int(x[0])
+    n = 1 << res
+    dys, dxs = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1), indexing="ij")
+    ys = y + dys.ravel()
+    xs = (x + dxs.ravel()) % n
+    ok = (ys >= 0) & (ys < n)
+    return (res * RES_MUL + ys[ok] * Y_MUL + xs[ok]).astype(np.int64)
+
+
+def np_cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell -> (lon_min, lat_min, lon_max, lat_max), outer edges."""
+    res, y, x = np_decode(cell)
+    n = np.power(2.0, res.astype(np.float64))
+    lon_min = x / n * 360.0 - 180.0
+    lon_max = (x + 1) / n * 360.0 - 180.0
+    lat_max = 90.0 - y / n * 180.0
+    lat_min = 90.0 - (y + 1) / n * 180.0
+    return lon_min, lat_min, lon_max, lat_max
+
+
+def np_cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """cell -> (lat, lon) centre (analogue of h3_to_geo)."""
+    lon_min, lat_min, lon_max, lat_max = np_cell_bounds(cell)
+    return (lat_min + lat_max) / 2.0, (lon_min + lon_max) / 2.0
+
+
+def np_polyfill_bbox(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int
+) -> np.ndarray:
+    """All cells at `res` intersecting the bbox (the coarse polyfill).
+
+    Used as the PIP-join prefilter cover (SURVEY.md J6). Callers refine
+    with an exact geometry predicate per cell if needed.
+    """
+    n = 1 << res
+    fn = float(n)
+    x0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * fn), 0, n - 1))
+    x1 = int(np.clip(np.floor((lon_max + 180.0) / 360.0 * fn), 0, n - 1))
+    y0 = int(np.clip(np.floor((90.0 - lat_max) / 180.0 * fn), 0, n - 1))
+    y1 = int(np.clip(np.floor((90.0 - lat_min) / 180.0 * fn), 0, n - 1))
+    ys, xs = np.meshgrid(np.arange(y0, y1 + 1), np.arange(x0, x1 + 1), indexing="ij")
+    return (res * RES_MUL + ys.ravel() * Y_MUL + xs.ravel()).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spark Column implementation (JVM-side, codegen'd — the hot path)
+# ---------------------------------------------------------------------------
+
+
+def cell_col(lat: Column | str, lon: Column | str, res: int) -> Column:
+    """Spark Column computing the cell id. Pure built-in expressions:
+    stays inside WholeStageCodegen, no Python, no shuffle."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    n = float(1 << res)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(n))
+    x = F.greatest(F.lit(0).cast("long"), F.least(x, F.lit(int(n) - 1).cast("long")))
+    y = F.greatest(F.lit(0).cast("long"), F.least(y, F.lit(int(n) - 1).cast("long")))
+    return (F.lit(res * RES_MUL).cast("long") + y * F.lit(Y_MUL).cast("long") + x).alias("cell")
+
+
+def parent_col(cell: Column | str, res: int, parent_res: int) -> Column:
+    """Parent cell at `parent_res` of a cell known to be at `res`.
+    Exact quadtree rollup (the pyramid operator's key, SURVEY.md A8)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    shift = res - parent_res
+    rem = cell - F.lit(res * RES_MUL).cast("long")
+    y = F.shiftright(rem, 29)
+    x = rem.bitwiseAND(F.lit(Y_MUL - 1).cast("long"))
+    return (
+        F.lit(parent_res * RES_MUL).cast("long")
+        + F.shiftright(y, shift) * F.lit(Y_MUL).cast("long")
+        + F.shiftright(x, shift)
+    )
+
+
+def cell_x_col(cell: Column | str) -> Column:
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    return cell.bitwiseAND(F.lit(Y_MUL - 1).cast("long"))
+
+
+def cell_y_col(cell: Column | str) -> Column:
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    return F.shiftright(cell % F.lit(RES_MUL).cast("long"), 29)
+
+
+def kring_cells_col(cell: Column | str, res: int, k: int) -> Column:
+    """Array column of the k-ring of `cell` (cell at known `res`).
+
+    Built from explode-free array expressions: the margin join explodes
+    this array to produce (owner_cell, row) duplicates — the exact
+    Spark re-expression of RIOS's margin-padded block read
+    (rios/imagereader.py:94-121).
+    x wraps (antimeridian); y rows beyond the poles are dropped.
+    """
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    n = 1 << res
+    rem = cell - F.lit(res * RES_MUL).cast("long")
+    y = F.shiftright(rem, 29)
+    x = rem - y * F.lit(Y_MUL).cast("long")
+    offs = [(dy, dx) for dy in range(-k, k + 1) for dx in range(-k, k + 1)]
+    cells = []
+    for dy, dx in offs:
+        ny = y + F.lit(dy)
+        nx = (x + F.lit(dx + n)) % F.lit(n)  # wrap
+        c = F.lit(res * RES_MUL).cast("long") + ny * F.lit(Y_MUL).cast("long") + nx
+        cells.append(F.when((ny >= 0) & (ny < n), c))
+    return F.array_compact(F.array(*cells))
+
+
+# ---------------------------------------------------------------------------
+# SQL text emitters (shared between Spark SQL and the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """ANSI SQL computing the cell id — identical text runs on Spark and
+    DuckDB and produces identical BIGINTs (same IEEE ops, same order)."""
+    n = float(1 << res)
+    nmax = (1 << res) - 1
+    x = f"greatest(0, least(cast(floor((({lon_expr}) + 180.0) / 360.0 * {n!r}) as bigint), {nmax}))"
+    y = f"greatest(0, least(cast(floor((90.0 - ({lat_expr})) / 180.0 * {n!r}) as bigint), {nmax}))"
+    return f"({res * RES_MUL} + {y} * {Y_MUL} + {x})"
+
+
+def geocode_sql(key_expr: str) -> tuple[str, str]:
+    """Deterministic (lat, lon) derived from an integer key — the same
+    arithmetic in Spark SQL and DuckDB. Used to give the driver's
+    TPC-H-ish tables a geography so spatial operators get real SQL
+    oracles. Knuth multiplicative hashes; all intermediates < 2^63."""
+    h1 = f"(({key_expr}) * 2654435761) % 4294967296"
+    h2 = f"((({key_expr}) + 1442695040888963407 % 1000000007) * 2246822519) % 4294967296"
+    lon = f"(({h1}) / 4294967296.0 * 360.0 - 180.0)"
+    lat = f"(({h2}) / 4294967296.0 * 170.0 - 85.0)"
+    return lat, lon
+
+
+def geocode_cols(key: Column | str) -> tuple[Column, Column]:
+    """Column form of geocode_sql (same arithmetic, JVM-side)."""
+    key = F.col(key) if isinstance(key, str) else key
+    key = key.cast("long")
+    h1 = (key * F.lit(2654435761).cast("long")) % F.lit(4294967296).cast("long")
+    h2 = (
+        (key + F.lit(1442695040888963407 % 1000000007).cast("long"))
+        * F.lit(2246822519).cast("long")
+    ) % F.lit(4294967296).cast("long")
+    lon = h1 / F.lit(4294967296.0) * F.lit(360.0) - F.lit(180.0)
+    lat = h2 / F.lit(4294967296.0) * F.lit(170.0) - F.lit(85.0)
+    return lat, lon
