@@ -1,0 +1,373 @@
+"""Spatial joins — point-in-polygon, zonal aggregates, kNN.
+
+Reference semantics being re-expressed (NOT ported):
+- Vector input burn (rios/imagereader.py:198-276, rios/applier.py:663-728):
+  RIOS rasterizes polygons and pixel-joins the mask. We skip the
+  rasterization detour entirely: a coarse tile-cover prefilter
+  (broadcast) + an exact vectorized point-in-polygon kernel — the PIP
+  join (SURVEY.md J6, the engine's flagship join).
+- Zonal statistics (rios/riostests/testvector.py:99-152): PIP join →
+  groupBy(polygon_id) agg, with SALTED two-stage aggregation for hot
+  tiles (the north-rule skew requirement).
+- Disjoint polygon → empty join → no stats row (testvector.py:76-83).
+- Nearest-neighbour resample join (rios/applier.py:655-661,
+  rios/riostests/testresample.py:86-117) generalized to kNN (J7/J8):
+  k-ring candidate generation + exact ranking + top-k, with an exact
+  completeness guard (queries whose candidate set can't prove the
+  true top-k fall back to a broadcast scan).
+
+Geometry is pure vectorized numpy (no GEOS in this container):
+- even-odd ray casting; edge semantics are half-open and deterministic
+  (for an axis-aligned rectangle: lon in [xmin, xmax), lat in
+  [ymin, ymax)) so the DuckDB oracle can reproduce them with plain
+  range predicates;
+- haversine on the WGS84 mean sphere.
+
+Scale design: polygons are the SMALL side (thousands) and are broadcast
+once, like RIOS memoizes one rasterization per vector file per process
+(rios/structures.py:1074-1096). Points never leave the executors; the
+prefilter is a broadcast hash join on the cell key; the exact test is
+Arrow-batched numpy. The only shuffle in zonal stats is the partial
+aggregation's, and salting splits hot polygons across reducers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from rios_spark.grid import np_cell, np_polyfill_bbox
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+# ---------------------------------------------------------------------------
+# vectorized geometry kernels
+# ---------------------------------------------------------------------------
+
+
+def ray_cast(px: np.ndarray, py: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Even-odd point-in-polygon for one ring over many points.
+
+    Half-open edge semantics: for an axis-aligned rectangle a point is
+    inside iff lon in [xmin, xmax) and lat in [ymin, ymax) — left/bottom
+    edges in, right/top edges out. Deterministic, and reproducible in
+    the SQL oracle as plain range predicates.
+    Vectorized over points; loops only over the ring's vertices.
+    """
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    inside = np.zeros(px.shape, bool)
+    n = len(xs)
+    j = n - 1
+    for i in range(n):
+        xi, yi = xs[i], ys[i]
+        xj, yj = xs[j], ys[j]
+        crosses = (yi > py) != (yj > py)
+        if np.any(crosses):
+            xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+            inside ^= crosses & (px < xint)
+        j = i
+    return inside
+
+
+def haversine_km(
+    lat1: np.ndarray, lon1: np.ndarray, lat2: np.ndarray, lon2: np.ndarray
+) -> np.ndarray:
+    la1, lo1, la2, lo2 = (np.radians(np.asarray(a, np.float64)) for a in (lat1, lon1, lat2, lon2))
+    dlat = la2 - la1
+    dlon = lo2 - lo1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(h))
+
+
+# ---------------------------------------------------------------------------
+# polygon cover (the polyfill prefilter)
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover(polygons: pd.DataFrame, res: int) -> pd.DataFrame:
+    """(polygon_id, cell) cover at `res` — bbox polyfill per polygon.
+
+    The coarse prefilter of the PIP join: a broadcast-joinable map from
+    tile to candidate polygons (SURVEY.md J6). polygons needs columns
+    polygon_id, xs (lon ring), ys (lat ring).
+    """
+    rows = []
+    for _, p in polygons.iterrows():
+        xs = np.asarray(p["xs"], np.float64)
+        ys = np.asarray(p["ys"], np.float64)
+        cells = np_polyfill_bbox(xs.min(), ys.min(), xs.max(), ys.max(), res)
+        rows.append(pd.DataFrame({"polygon_id": int(p["polygon_id"]), "cell": cells}))
+    if not rows:
+        return pd.DataFrame({"polygon_id": pd.Series(dtype=np.int64), "cell": pd.Series(dtype=np.int64)})
+    return pd.concat(rows, ignore_index=True)
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: pd.DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    cell: str = "cell",
+) -> DataFrame:
+    """Inner join: each point row x each polygon containing it.
+
+    Plan shape: points ⋈(broadcast, on cell) cover → mapInPandas exact
+    ray-cast. One broadcast, zero shuffles of the big side. A point in
+    m polygons yields m rows; points in no polygon are dropped
+    (anti-join semantics preserved for the disjoint case, J9).
+    """
+    spark = points.sparkSession
+    cover = polygon_cover(polygons, res)
+    cover_df = F.broadcast(spark.createDataFrame(cover, schema="polygon_id long, cell long"))
+    cand = points.join(cover_df, on=cell, how="inner")
+
+    rings = {
+        int(p["polygon_id"]): (
+            np.asarray(p["xs"], np.float64),
+            np.asarray(p["ys"], np.float64),
+        )
+        for _, p in polygons.iterrows()
+    }
+    bc = spark.sparkContext.broadcast(rings)
+    out_schema = cand.schema
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings_v = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), bool)
+            px = pdf[lon].to_numpy(np.float64)
+            py = pdf[lat].to_numpy(np.float64)
+            pids = pdf["polygon_id"].to_numpy()
+            for pid in np.unique(pids):
+                m = pids == pid
+                xs, ys = rings_v[int(pid)]
+                keep[m] = ray_cast(px[m], py[m], xs, ys)
+            yield pdf[keep]
+
+    return cand.mapInPandas(exact, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# zonal aggregation (salted two-stage)
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: pd.DataFrame,
+    res: int,
+    value_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    cell: str = "cell",
+    salt: int = 16,
+) -> DataFrame:
+    """Per-polygon count/sum/mean/min/max of `value_col` over contained
+    points — the zonal-statistics composite (SURVEY.md A14).
+
+    Skew handling: stage 1 aggregates by (polygon_id, salt) — a hot
+    polygon (continent-sized, or over a dense-host tile) is split
+    across `salt` reducers — stage 2 combines the partials. The salt is
+    a deterministic hash of the point's cell, so re-runs are stable.
+    Polygons with zero contained points produce no row (testvector
+    disjoint contract).
+    """
+    joined = pip_join(points, polygons, res, lat=lat, lon=lon, cell=cell)
+    v = F.col(value_col).cast("double")
+    s = F.pmod(F.xxhash64(F.col(cell)), F.lit(salt))
+    partial = joined.groupBy("polygon_id", s.alias("__salt")).agg(
+        F.count(v).alias("c"),
+        F.sum(v).alias("s"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    return (
+        partial.groupBy("polygon_id")
+        .agg(
+            F.sum("c").alias("count"),
+            F.sum("s").alias("sum"),
+            F.min("mn").alias("minval"),
+            F.max("mx").alias("maxval"),
+        )
+        .withColumn("mean", F.col("sum") / F.col("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN join
+# ---------------------------------------------------------------------------
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    data: pd.DataFrame,
+    k: int,
+    q_lat: str = "lat",
+    q_lon: str = "lon",
+    d_lat: str = "lat",
+    d_lon: str = "lon",
+    d_id: str = "id",
+    metric: str = "haversine",
+) -> DataFrame:
+    """Exact kNN with the data side broadcast (the small-dim case —
+    analogous to RIOS broadcasting one rasterization per process).
+    Ties broken on (distance, data id) — deterministic.
+
+    Output: all query columns + neighbor_id, dist_km, rank.
+    """
+    spark = queries.sparkSession
+    dlat = data[d_lat].to_numpy(np.float64)
+    dlon = data[d_lon].to_numpy(np.float64)
+    dids = data[d_id].to_numpy(np.int64)
+    order = np.argsort(dids, kind="stable")
+    bc = spark.sparkContext.broadcast((dlat[order], dlon[order], dids[order]))
+
+    fields = queries.schema.fields + [
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("dist_km", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+    out_schema = T.StructType(fields)
+    use_haversine = metric == "haversine"
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dla, dlo, did = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qla = pdf[q_lat].to_numpy(np.float64)[:, None]
+            qlo = pdf[q_lon].to_numpy(np.float64)[:, None]
+            if use_haversine:
+                dist = haversine_km(qla, qlo, dla[None, :], dlo[None, :])
+            else:
+                dist = np.sqrt((qla - dla[None, :]) ** 2 + (qlo - dlo[None, :]) ** 2)
+            kk = min(k, dist.shape[1])
+            idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(pdf))[:, None]
+            dsel = dist[rows, idx]
+            # deterministic tie-break: (distance, data id)
+            ord2 = np.lexsort((did[idx], dsel), axis=1)
+            idx = idx[rows, ord2]
+            dsel = dsel[rows, ord2]
+            rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            rep["neighbor_id"] = did[idx].ravel()
+            rep["dist_km"] = dsel.ravel()
+            rep["rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf))
+            yield rep
+
+    return queries.mapInPandas(kern, schema=out_schema)
+
+
+def knn_tiled(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    res: int,
+    ring: int = 1,
+    q_lat: str = "lat",
+    q_lon: str = "lon",
+    d_lat: str = "lat",
+    d_lon: str = "lon",
+    d_id: str = "id",
+) -> DataFrame:
+    """Exact distributed kNN for a LARGE data side (SURVEY.md J8).
+
+    Phase 1 — candidates: data rows are exploded to their `ring`-ring
+    owner cells (margin join machinery) and equi-joined to query cells:
+    each query sees every data point within `ring` tiles. Rank by
+    haversine, keep top-k (window row_number, ties on (dist, id)).
+
+    Phase 2 — completeness guard (makes it EXACT, not approximate): a
+    query's top-k is provably correct iff it found k candidates AND its
+    k-th distance is within the guaranteed coverage radius of the ring
+    (distance from the query point to the nearest edge of the ring's
+    tile box). Queries failing the guard re-run against the full data
+    via broadcast brute force; at sane resolutions that is a tiny
+    residue (logged by the caller via .count() if desired).
+
+    Both query and data DataFrames must already carry a `cell` column
+    at `res`.
+    """
+    from rios_spark.margin import OWNER, with_margin
+
+    qcols = queries.columns
+    d_exp = with_margin(data, res, ring, cell="cell").select(
+        F.col(OWNER).alias("cell"),
+        F.col(d_id).alias("neighbor_id"),
+        F.col(d_lat).alias("__dlat"),
+        F.col(d_lon).alias("__dlon"),
+    )
+    cand = queries.join(d_exp, "cell", "left")
+
+    dist = _haversine_col(F.col(q_lat), F.col(q_lon), F.col("__dlat"), F.col("__dlon"))
+    cand = cand.withColumn("dist_km", dist)
+    w = Window.partitionBy(*[F.col(c) for c in qcols]).orderBy(
+        F.col("dist_km").asc_nulls_last(), F.col("neighbor_id")
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    # guard: coverage radius of the ring box around the query's cell
+    n = float(1 << res)
+    cell_h_deg = 180.0 / n
+    rem = F.col("cell") - F.lit(res * (1 << 58)).cast("long")
+    y = F.shiftright(rem, 29)
+    x = rem.bitwiseAND(F.lit((1 << 29) - 1).cast("long"))
+    box_lat_n = F.lit(90.0) - (y - ring) * F.lit(cell_h_deg)
+    box_lat_s = F.lit(90.0) - (y + 1 + ring) * F.lit(cell_h_deg)
+    box_lon_w = (x - ring) * F.lit(360.0 / n) - F.lit(180.0)
+    box_lon_e = (x + 1 + ring) * F.lit(360.0 / n) - F.lit(180.0)
+    # conservative km-per-degree: lat 111.32; lon scaled by min cos in box
+    min_cos = F.least(
+        F.abs(F.cos(F.radians(box_lat_n))), F.abs(F.cos(F.radians(box_lat_s)))
+    )
+    guard_km = F.least(
+        (F.col(q_lat) - box_lat_s) * F.lit(110.57),
+        (box_lat_n - F.col(q_lat)) * F.lit(110.57),
+        (F.col(q_lon) - box_lon_w) * F.lit(110.57) * min_cos,
+        (box_lon_e - F.col(q_lon)) * F.lit(110.57) * min_cos,
+    )
+    agg = ranked.groupBy(*[F.col(c) for c in qcols]).agg(
+        F.count("dist_km").alias("__nfound"),
+        F.max("dist_km").alias("__kth"),
+        F.first(guard_km).alias("__guard"),
+    )
+    ok = agg.filter((F.col("__nfound") >= k) & (F.col("__kth") < F.col("__guard"))).select(*qcols)
+    bad = agg.filter(~((F.col("__nfound") >= k) & (F.col("__kth") < F.col("__guard")))).select(*qcols)
+
+    good_rows = ranked.join(F.broadcast(ok), qcols, "left_semi").select(
+        *qcols, "neighbor_id", "dist_km", "rank"
+    )
+
+    # residue: exact brute force only for the (few) unprovable queries.
+    # One cheap action decides whether the collect is needed at all.
+    if bad.limit(1).count() == 0:
+        return good_rows
+    data_pdf = data.select(
+        F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
+    ).toPandas()
+    bad_q = queries.join(F.broadcast(bad), qcols, "left_semi")
+    fixed = knn_bruteforce(
+        bad_q, data_pdf, k, q_lat=q_lat, q_lon=q_lon, d_lat="lat", d_lon="lon", d_id="id"
+    ).select(*qcols, "neighbor_id", "dist_km", F.col("rank").cast("int").alias("rank"))
+
+    return good_rows.unionByName(fixed)
+
+
+def _haversine_col(lat1, lon1, lat2, lon2):
+    """Haversine as built-in Spark expressions (JVM-side, codegen)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(rl1) * F.cos(rl2) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))

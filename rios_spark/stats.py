@@ -1,0 +1,264 @@
+"""Single-pass statistics layer — calcstats re-expressed in Spark.
+
+Reference semantics (NOT ported):
+- SinglePassAccumulator partial+final basic stats: sum/ssq/count/min/max
+  per block, mean = sum/count, stddev = sqrt(ssq/count - mean^2) with a
+  negative-variance clamp (rios/calcstats.py:656-692). Catalyst's
+  partial/final hash aggregation IS this operator; we keep the exact
+  final arithmetic (population stddev from sum/ssq) for parity.
+- HistogramParams binning rules (rios/calcstats.py:289-361):
+  thematic/byte → direct bins width 1 from 0 (negative values error);
+  large ints → direct if range <= 256 else 256 linear bins;
+  floats → 256 linear bins (1 bin when min == max).
+- Median/mode from the histogram (rios/calcstats.py:954-970), including
+  the int(round()) on integer types.
+- Pyramid levels via strided subsampling arr[o::L, o::L], o = L//2,
+  NEAREST only in single-pass (rios/calcstats.py:845-872) → here: the
+  centre child of each parent cell, an exact deterministic filter +
+  parent rollup (no nondeterministic first()).
+- All-null contract: no stats rows are produced when every value is
+  null (rios/riostests/teststats.py:495-555).
+- Single-pass fusion: stats computed in the same pass as the write via
+  df.observe() (the Spark analogue of SinglePassManager,
+  rios/calcstats.py:400-616).
+
+Null model: real SQL NULLs; NaN is treated as null explicitly
+(rios/calcstats.py:662-663).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from rios_spark.grid import parent_col
+
+MAX_LINEAR_BINS = 256
+
+
+def _valid(df: DataFrame, col: str) -> DataFrame:
+    c = F.col(col)
+    cond = c.isNotNull()
+    if dict(df.dtypes)[col] in ("float", "double"):
+        cond = cond & ~F.isnan(c)
+    return df.filter(cond)
+
+
+def basic_stats(df: DataFrame, col: str, group: list[str] | None = None) -> DataFrame:
+    """min/max/mean/stddev/count with RIOS final arithmetic.
+
+    One shuffle (partial+final hash agg). Returns zero rows for an
+    all-null input when grouped is empty — the all-null contract.
+    """
+    v = F.col(col).cast("double")
+    aggs = [
+        F.count(v).alias("count"),
+        F.min(v).alias("minval"),
+        F.max(v).alias("maxval"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("ssq"),
+    ]
+    d = _valid(df, col)
+    g = d.groupBy(*group) if group else d.groupBy()
+    out = g.agg(*aggs).filter(F.col("count") > 0)
+    mean = F.col("sum") / F.col("count")
+    variance = F.col("ssq") / F.col("count") - mean * mean
+    stddev = F.when(variance >= 0, F.sqrt(variance)).otherwise(F.lit(0.0))
+    return out.select(
+        *(group or []),
+        "count",
+        "minval",
+        "maxval",
+        mean.alias("mean"),
+        stddev.alias("stddev"),
+    )
+
+
+@dataclass
+class HistogramParams:
+    """RIOS HistogramParams (rios/calcstats.py:289-361) computed from
+    the column's observed min/max + declared kind."""
+
+    min: float
+    max: float
+    step: float
+    calcMin: float
+    calcMax: float
+    nbins: int
+    binFunction: str  # 'direct' | 'linear'
+
+    @classmethod
+    def infer(cls, minval: float, maxval: float, kind: str, thematic: bool = False):
+        """kind: 'byte' | 'int' | 'float' (the GDAL dtype classes)."""
+        if thematic or kind == "byte":
+            if minval < 0:
+                raise ValueError(
+                    "Histogram code does not cope with negative values in thematic raster"
+                )
+            mn = 0
+            mx = int(np.ceil(maxval))
+            return cls(mn, mx, 1.0, mn - 0.5, mx + 0.5, mx - mn + 1, "direct")
+        if kind == "int":
+            histrange = int(np.ceil(maxval) - np.floor(minval)) + 1
+            mn, mx = int(minval), int(maxval)
+            if histrange <= MAX_LINEAR_BINS:
+                return cls(mn, mx, 1.0, mn - 0.5, mx + 0.5, histrange, "direct")
+            step = float(mx - mn) / MAX_LINEAR_BINS
+            return cls(mn, mx, step, mn, mx, MAX_LINEAR_BINS, "linear")
+        if kind == "float":
+            mn, mx = float(minval), float(maxval)
+            calc_max, nbins = mx, MAX_LINEAR_BINS
+            if mn == calc_max:
+                calc_max, nbins = calc_max + 0.5, 1
+            step = float(calc_max - mn) / nbins
+            return cls(mn, mx, step, mn, calc_max, nbins, "linear")
+        raise ValueError(f"unknown kind {kind!r}")
+
+
+def histogram(
+    df: DataFrame, col: str, kind: str, thematic: bool = False
+) -> tuple[HistogramParams, np.ndarray]:
+    """Histogram with RIOS binning rules. Two Spark jobs: a min/max agg
+    to infer the params (cheap, column-pruned scan), then the binned
+    count agg. Returns (params, dense counts ndarray of len nbins).
+
+    Direct bins: groupBy(value).count() — exact.
+    Linear bins: bin = clamp(floor((v - calcMin)/step), 0, nbins-1) —
+    matches GDAL GetHistogram(include_out_of_range=1) edge handling.
+    """
+    d = _valid(df, col)
+    mm = d.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).collect()[0]
+    if mm["mn"] is None:
+        # all-null: no histogram (teststats.py:495-555 contract)
+        return None, np.zeros(0, np.int64)
+    params = HistogramParams.infer(float(mm["mn"]), float(mm["mx"]), kind, thematic)
+
+    if params.binFunction == "direct":
+        base = int(params.min)
+        rows = (
+            d.groupBy(F.col(col).cast("long").alias("v"))
+            .count()
+            .collect()
+        )
+        counts = np.zeros(params.nbins, np.int64)
+        for r in rows:
+            idx = int(r["v"]) - base
+            if 0 <= idx < params.nbins:
+                counts[idx] += r["count"]
+    else:
+        v = F.col(col).cast("double")
+        b = F.floor((v - F.lit(params.calcMin)) / F.lit(params.step))
+        b = F.greatest(F.lit(0).cast("long"), F.least(b, F.lit(params.nbins - 1).cast("long")))
+        rows = d.groupBy(b.alias("bin")).count().collect()
+        counts = np.zeros(params.nbins, np.int64)
+        for r in rows:
+            counts[int(r["bin"])] += r["count"]
+    return params, counts
+
+
+def median_mode_from_hist(
+    params: HistogramParams, hist: np.ndarray, is_float: bool
+) -> tuple[float, float]:
+    """Exact RIOS arithmetic (rios/calcstats.py:954-970): median = first
+    bin where cumsum >= total/2; mode = argmax bin; int types go through
+    int(round(.)) (Python banker's rounding, as in the reference)."""
+    middlenum = hist.astype(np.int64).sum() / 2
+    medianbin = int((hist.astype(np.int64).cumsum() >= middlenum).nonzero()[0][0])
+    medianval = medianbin * params.step + params.min
+    modebin = int(np.argmax(hist))
+    modeval = modebin * params.step + params.min
+    if not is_float:
+        return int(round(medianval)), int(round(modeval))
+    return float(medianval), float(modeval)
+
+
+def pyramid_nearest(df: DataFrame, res: int, k: int, value_cols: list[str]) -> DataFrame:
+    """NEAREST rollup k levels up (level L = 2^k): keep only the centre
+    child of each parent (local offset o = L//2 in both axes — the
+    relational form of arr[o::L, o::L], rios/calcstats.py:845-872),
+    re-keyed to the parent cell. Deterministic; a pure filter + map, no
+    groupBy at all — zero shuffle."""
+    L = 1 << k
+    o = L // 2
+    from rios_spark.grid import Y_MUL, RES_MUL  # local import avoids cycle
+
+    rem = F.col("cell") - F.lit(res * RES_MUL).cast("long")
+    y = F.shiftright(rem, 29)
+    x = rem.bitwiseAND(F.lit(Y_MUL - 1).cast("long"))
+    centre = ((y % L) == o) & ((x % L) == o)
+    return (
+        df.filter(centre)
+        .select(parent_col("cell", res, res - k).alias("cell"), *value_cols)
+    )
+
+
+def pyramid_average(df: DataFrame, res: int, k: int, value_cols: list[str]) -> DataFrame:
+    """AVERAGE rollup (the GDAL fallback aggregation type): one
+    partial+final agg by parent cell."""
+    return (
+        df.groupBy(parent_col("cell", res, res - k).alias("cell"))
+        .agg(*[F.avg(c).alias(c) for c in value_cols])
+    )
+
+
+def weighted_stats(df: DataFrame, col: str, weight: str, group: list[str] | None = None) -> DataFrame:
+    """Histogram-weighted column stats (rios/fileinfo.py:381-503
+    ColumnStats): count/mean/stddev/min/max/sum where `weight` is the
+    pixel-count column. Null rows excluded, as the reference does."""
+    v = F.col(col).cast("double")
+    w = F.col(weight).cast("double")
+    d = df.filter(v.isNotNull() & w.isNotNull())
+    g = d.groupBy(*group) if group else d.groupBy()
+    out = g.agg(
+        F.sum(w).alias("count"),
+        F.sum(v * w).alias("wsum"),
+        F.sum(v * v * w).alias("wssq"),
+        F.min(F.when(w > 0, v)).alias("minval"),
+        F.max(F.when(w > 0, v)).alias("maxval"),
+    ).filter(F.col("count") > 0)
+    mean = F.col("wsum") / F.col("count")
+    variance = F.col("wssq") / F.col("count") - mean * mean
+    stddev = F.when(variance >= 0, F.sqrt(variance)).otherwise(F.lit(0.0))
+    return out.select(
+        *(group or []), "count", "minval", "maxval",
+        mean.alias("mean"), stddev.alias("stddev"),
+    )
+
+
+def write_with_stats(
+    df: DataFrame, path: str, col: str, partition_by: list[str] | None = None
+) -> dict:
+    """Single-pass fusion: write the data AND compute its basic stats in
+    the SAME Spark action via df.observe() — the true analogue of
+    RIOS's SinglePassManager computing stats during the write pass
+    (rios/calcstats.py:400-616, rios/imagewriter.py:54-66).
+
+    Returns the observed stats dict. On a real deployment the write
+    target is an Iceberg table (snapshot commit == RIOS closeOutfiles);
+    here: partitioned parquet.
+    """
+    v = F.col(col).cast("double")
+    obs = Observation("single_pass_stats")
+    observed = df.observe(
+        obs,
+        F.count(v).alias("count"),
+        F.min(v).alias("minval"),
+        F.max(v).alias("maxval"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("ssq"),
+    )
+    w = observed.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    got = dict(obs.get)
+    n = got["count"] or 0
+    if n > 0:
+        mean = got["sum"] / n
+        variance = got["ssq"] / n - mean**2
+        got["mean"] = mean
+        got["stddev"] = float(np.sqrt(variance)) if variance >= 0 else 0.0
+    return got

@@ -1,0 +1,208 @@
+"""Spatial join oracles.
+
+- testvector parity (rios/riostests/testvector.py:99-152): zonal mean
+  inside polygons == numpy mask mean exactly; disjoint polygon → no row.
+- PIP edge semantics: half-open rectangles == SQL range predicates
+  (the DuckDB-oracle contract).
+- kNN: tiled distributed kNN == brute force exactly, including ties
+  and the completeness-guard fallback.
+- NN-resample analogue (rios/riostests/testresample.py:86-117): k=1
+  euclidean NN of a shifted grid == array shift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rios_spark import datagen, spatial
+from rios_spark.grid import cell_col, np_cell
+
+
+def _pages_df(spark, n=8000, res=5):
+    pages = datagen.gen_pages(n)
+    return (
+        spark.createDataFrame(pages[["page_id", "lat", "lon", "lang"]])
+        .withColumn("cell", cell_col("lat", "lon", res))
+    ), pages
+
+
+def test_ray_cast_rectangle_half_open():
+    xs = np.array([0.0, 10.0, 10.0, 0.0])
+    ys = np.array([0.0, 0.0, 5.0, 5.0])
+    px = np.array([5.0, 0.0, 10.0, 5.0, 5.0, -1.0, 11.0, 5.0, 5.0])
+    py = np.array([2.0, 2.0, 2.0, 0.0, 5.0, 2.0, 2.0, -1.0, 6.0])
+    got = spatial.ray_cast(px, py, xs, ys)
+    # [xmin, xmax) x [ymin, ymax): left/bottom edges IN, right/top OUT
+    want = np.array([True, True, False, True, False, False, False, False, False])
+    assert (got == want).all()
+
+
+def test_ray_cast_matches_sql_ranges_on_random_points():
+    rng = np.random.default_rng(9)
+    px = rng.uniform(-20, 20, 5000)
+    py = rng.uniform(-20, 20, 5000)
+    xs = np.array([-5.0, 8.0, 8.0, -5.0])
+    ys = np.array([-3.0, -3.0, 7.0, 7.0])
+    got = spatial.ray_cast(px, py, xs, ys)
+    want = (px >= -5.0) & (px < 8.0) & (py >= -3.0) & (py < 7.0)
+    assert (got == want).all()
+
+
+def test_pip_join_and_zonal_match_numpy(spark):
+    res = 5
+    df, pages = _pages_df(spark, 8000, res)
+    polys = datagen.gen_polygons()
+
+    out = spatial.zonal_stats(df, polys, res, "page_id").toPandas().set_index("polygon_id")
+
+    lon = pages["lon"].to_numpy()
+    lat = pages["lat"].to_numpy()
+    pid_vals = pages["page_id"].to_numpy(np.float64)
+    seen = 0
+    for _, p in polys.iterrows():
+        xs = np.asarray(p["xs"], np.float64)
+        ys = np.asarray(p["ys"], np.float64)
+        mask = spatial.ray_cast(lon, lat, xs, ys)
+        pid = int(p["polygon_id"])
+        if mask.sum() == 0:
+            assert pid not in out.index  # disjoint → no row
+            continue
+        seen += 1
+        row = out.loc[pid]
+        assert row["count"] == mask.sum()
+        assert row["mean"] == pytest.approx(pid_vals[mask].mean(), rel=1e-12)
+        assert row["minval"] == pid_vals[mask].min()
+        assert row["maxval"] == pid_vals[mask].max()
+    assert seen >= 3  # big_band + pentagon + at least one square hit
+    # disjoint polygon must be absent
+    dis = int(polys[polys["kind"] == "disjoint"]["polygon_id"].iloc[0])
+    assert dis not in out.index
+
+
+def test_pip_join_row_level(spark):
+    """A point inside two overlapping polygons yields two rows."""
+    res = 4
+    pts = pd.DataFrame({"page_id": [0, 1], "lat": [1.0, 50.0], "lon": [1.0, 50.0]})
+    df = spark.createDataFrame(pts).withColumn("cell", cell_col("lat", "lon", res))
+    polys = pd.DataFrame(
+        {
+            "polygon_id": [0, 1],
+            "xs": [[-5.0, 5.0, 5.0, -5.0], [-3.0, 3.0, 3.0, -3.0]],
+            "ys": [[-5.0, -5.0, 5.0, 5.0], [-3.0, -3.0, 3.0, 3.0]],
+        }
+    )
+    out = spatial.pip_join(df, polys, res).toPandas()
+    assert len(out) == 2
+    assert set(out["polygon_id"]) == {0, 1}
+    assert (out["page_id"] == 0).all()
+
+
+def _brute_oracle(qdf, ddf, k):
+    d = spatial.haversine_km(
+        qdf["lat"].to_numpy()[:, None],
+        qdf["lon"].to_numpy()[:, None],
+        ddf["lat"].to_numpy()[None, :],
+        ddf["lon"].to_numpy()[None, :],
+    )
+    ids = ddf["id"].to_numpy()
+    out = {}
+    for i in range(len(qdf)):
+        order = np.lexsort((ids, d[i]))[:k]
+        out[int(qdf["qid"].iloc[i])] = [(int(ids[j]), d[i][j]) for j in order]
+    return out
+
+
+def test_knn_bruteforce_exact(spark):
+    rng = np.random.default_rng(11)
+    qdf = pd.DataFrame(
+        {"qid": np.arange(50), "lat": rng.uniform(-40, 40, 50), "lon": rng.uniform(-90, 90, 50)}
+    )
+    ddf = pd.DataFrame(
+        {"id": np.arange(300), "lat": rng.uniform(-45, 45, 300), "lon": rng.uniform(-95, 95, 300)}
+    )
+    got = (
+        spatial.knn_bruteforce(spark.createDataFrame(qdf), ddf, 3, d_id="id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    want = _brute_oracle(qdf, ddf, 3)
+    for qid, grp in got.groupby("qid"):
+        pairs = list(zip(grp["neighbor_id"], grp["dist_km"]))
+        for (gi, gd), (wi, wd) in zip(pairs, want[qid]):
+            assert gi == wi
+            assert gd == pytest.approx(wd, rel=1e-12)
+
+
+def test_knn_tiled_equals_bruteforce(spark):
+    """The distributed kNN (candidates + guard + residue) is EXACT."""
+    res = 4
+    rng = np.random.default_rng(13)
+    # clustered data so some queries have dense rings and others sparse
+    # (forcing both the fast path and the brute-force residue)
+    centers = rng.uniform(-60, 60, (5, 2))
+    dpts = np.concatenate(
+        [c + rng.normal(0, 3, (60, 2)) for c in centers]
+        + [rng.uniform(-70, 70, (30, 2))]
+    )
+    ddf = pd.DataFrame({"id": np.arange(len(dpts)), "lat": dpts[:, 0], "lon": dpts[:, 1]})
+    qpts = rng.uniform(-65, 65, (40, 2))
+    qdf = pd.DataFrame({"qid": np.arange(40), "lat": qpts[:, 0], "lon": qpts[:, 1]})
+
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, ring=1, d_id="id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    want = _brute_oracle(qdf, ddf, 3)
+    assert len(got) == 40 * 3
+    for qid, grp in got.groupby("qid"):
+        pairs = list(zip(grp["neighbor_id"], grp["dist_km"]))
+        for (gi, gd), (wi, wd) in zip(pairs, want[int(qid)]):
+            assert gi == wi, f"qid={qid}: {pairs} vs {want[int(qid)]}"
+            assert gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_nn_resample_equals_array_shift(spark):
+    """testresample parity: NN (k=1, euclidean on grid coords) of a
+    half-pixel-shifted grid == array shift, exact."""
+    n = 60
+    rows, cols = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = ((rows + cols) * 100.0 / (2 * n - 2)).astype(np.uint8).astype(np.int64)
+    # data: pixel centres at integer coords
+    ddf = pd.DataFrame(
+        {"id": np.arange(n * n), "lat": rows.ravel().astype(float), "lon": cols.ravel().astype(float)}
+    )
+    # queries: grid shifted by (+0.3, -0.4) px → NN is the same pixel
+    # offset by (0, 0) rounded — i.e. value at (row, col) again
+    qdf = pd.DataFrame(
+        {
+            "qid": np.arange(n * n),
+            "lat": rows.ravel() + 0.3,
+            "lon": cols.ravel() - 0.4,
+        }
+    )
+    got = (
+        spatial.knn_bruteforce(
+            spark.createDataFrame(qdf), ddf, 1, metric="euclidean", d_id="id"
+        )
+        .toPandas()
+        .sort_values("qid")
+    )
+    # nearest integer coords = (round(lat), round(lon)) = (row, col)
+    assert (got["neighbor_id"].to_numpy() == np.arange(n * n)).all()
+    # a full-pixel shift picks the shifted pixel (the array-shift oracle)
+    qdf2 = qdf.assign(lat=qdf["lat"] + 1.0)  # total +1.3 → rounds to row+1
+    got2 = (
+        spatial.knn_bruteforce(
+            spark.createDataFrame(qdf2), ddf, 1, metric="euclidean", d_id="id"
+        )
+        .toPandas()
+        .sort_values("qid")
+    )
+    want2 = np.where(rows.ravel() + 1 < n, (rows.ravel() + 1) * n + cols.ravel(), got2["neighbor_id"])
+    assert (got2["neighbor_id"].to_numpy() == want2).all()

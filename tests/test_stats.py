@@ -1,0 +1,179 @@
+"""teststats-parity port (rios/riostests/teststats.py:37-133):
+stats/histogram/median/mode across dtype kinds x scale factors, exact
+vs numpy, all-null contract, thematic rules, pyramids, weighted stats,
+single-pass observe fusion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rios_spark import datagen, stats
+from rios_spark.grid import RES_MUL, Y_MUL
+
+N, TILE, RES = 200, 25, 10
+
+
+def _ramp_values(scale=1.0, null_val=None, offset=0.0):
+    pdf = datagen.gen_ramp(N, N, TILE, RES)
+    vals = pdf["value"].to_numpy().astype(np.float64) * scale + offset
+    if null_val is not None:
+        vals = np.where(pdf["value"].to_numpy() == null_val, np.nan, vals)
+    pdf = pdf.assign(value=vals)
+    return pdf, vals[~np.isnan(vals)]
+
+
+# (kind, scale, offset, null) — representative slice of teststats' matrix
+CASES = [
+    ("byte", 1.0, 0.0, 52),
+    ("int", 300.0, 0.0, 52),
+    ("int", 300.0, -6000.0, None),  # negative offset case (teststats.py:114-117)
+    ("float", 0.01, 0.0, 52),
+    ("float", 100.0, 0.0, None),
+]
+
+
+@pytest.mark.parametrize("kind,scale,offset,null_val", CASES)
+def test_basic_stats_exact(spark, kind, scale, offset, null_val):
+    pdf, valid = _ramp_values(scale, null_val, offset)
+    df = spark.createDataFrame(pdf)
+    got = stats.basic_stats(df, "value").collect()[0]
+    assert got["count"] == len(valid)
+    assert got["minval"] == pytest.approx(valid.min(), abs=1e-6)
+    assert got["maxval"] == pytest.approx(valid.max(), abs=1e-6)
+    assert got["mean"] == pytest.approx(valid.mean(), rel=1e-9)
+    assert got["stddev"] == pytest.approx(valid.std(), rel=1e-6)
+
+
+@pytest.mark.parametrize("kind,scale,offset,null_val", CASES)
+def test_histogram_matches_numpy(spark, kind, scale, offset, null_val):
+    pdf, valid = _ramp_values(scale, null_val, offset)
+    if kind != "float":
+        pdf["value"] = pdf["value"].round()
+        valid = valid.round()
+    df = spark.createDataFrame(pdf)
+    params, counts = stats.histogram(df, "value", kind)
+    assert counts.sum() == len(valid)
+    # the reference compares against numpy.histogram (teststats.py:437-492)
+    want, _ = np.histogram(valid, bins=params.nbins, range=(params.calcMin, params.calcMax))
+    assert (counts == want).all(), (counts - want)
+    # binning-rule parity
+    if kind == "byte":
+        assert params.binFunction == "direct" and params.step == 1.0 and params.min == 0
+    if kind == "int":
+        assert params.binFunction == "linear" and params.nbins == 256  # range > 256
+    if kind == "float":
+        assert params.binFunction == "linear" and params.nbins == 256
+
+
+@pytest.mark.parametrize("kind,scale,offset,null_val", CASES)
+def test_median_mode_tolerance(spark, kind, scale, offset, null_val):
+    """median/mode from histogram within 0.3*scale (teststats.py:256-262)."""
+    pdf, valid = _ramp_values(scale, null_val, offset)
+    if kind != "float":
+        pdf["value"] = pdf["value"].round()
+        valid = valid.round()
+    df = spark.createDataFrame(pdf)
+    params, counts = stats.histogram(df, "value", kind)
+    med, mode = stats.median_mode_from_hist(params, counts, is_float=(kind == "float"))
+    assert abs(med - np.median(valid)) <= 0.3 * scale + params.step
+    # mode: recompute by exact counting
+    uniq, cnt = np.unique(valid, return_counts=True)
+    true_mode = uniq[np.argmax(cnt)]
+    assert abs(mode - true_mode) <= 0.3 * scale + params.step
+
+
+def test_all_null_writes_no_stats(spark):
+    """teststats.py:495-555: all-null output produces NO stats rows."""
+    pdf = datagen.gen_ramp(50, 50, TILE, RES).assign(value=np.nan)
+    df = spark.createDataFrame(pdf)
+    assert stats.basic_stats(df, "value").count() == 0
+    params, counts = stats.histogram(df, "value", "float")
+    assert params is None and len(counts) == 0
+
+
+def test_thematic_negative_raises(spark):
+    pdf = datagen.gen_ramp(50, 50, TILE, RES)
+    pdf["value"] = pdf["value"] - 10
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="negative values in thematic"):
+        stats.histogram(df, "value", "int", thematic=True)
+
+
+def test_small_int_range_is_direct(spark):
+    pdf = datagen.gen_ramp(100, 100, TILE, RES)  # values 0..100, range 101 <= 256
+    df = spark.createDataFrame(pdf)
+    params, counts = stats.histogram(df, "value", "int")
+    assert params.binFunction == "direct" and params.nbins == 101
+    want = np.bincount(pdf["value"].to_numpy(), minlength=101)
+    assert (counts == want).all()
+
+
+def test_per_tile_stats_group(spark):
+    pdf, _ = _ramp_values()
+    df = spark.createDataFrame(pdf)
+    got = stats.basic_stats(df, "value", group=["cell"]).toPandas().set_index("cell")
+    want = pdf.groupby("cell")["value"].agg(["count", "min", "max", "mean"])
+    for cell, row in want.iterrows():
+        g = got.loc[cell]
+        assert g["count"] == row["count"]
+        assert g["mean"] == pytest.approx(row["mean"], rel=1e-9)
+
+
+def test_pyramid_nearest_is_strided_subsample(spark):
+    """A8 parity: NEAREST rollup == centre-child selection, exact."""
+    pdf = datagen.gen_ramp(N, N, TILE, RES)
+    df = spark.createDataFrame(pdf)
+    k = 2  # level L=4
+    out = stats.pyramid_nearest(df, RES, k, ["value", "row", "col"]).toPandas()
+    # expected: tiles with (x%4==2, y%4==2) re-keyed to parent
+    rem = pdf["cell"] - RES * RES_MUL
+    y = rem // Y_MUL
+    x = rem % Y_MUL
+    keep = pdf[(y % 4 == 2) & (x % 4 == 2)]
+    assert len(out) == len(keep)
+    parent = (RES - k) * RES_MUL + (y[keep.index] // 4) * Y_MUL + (x[keep.index] // 4)
+    assert set(out["cell"]) == set(parent)
+    # zero shuffle: the plan must contain no Exchange
+    plan = stats.pyramid_nearest(df, RES, k, ["value"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pyramid_average(spark):
+    pdf = datagen.gen_ramp(100, 100, TILE, RES)
+    df = spark.createDataFrame(pdf)
+    out = stats.pyramid_average(df, RES, 1, ["value"]).toPandas()
+    rem = pdf["cell"] - RES * RES_MUL
+    parent = (RES - 1) * RES_MUL + ((rem // Y_MUL) // 2) * Y_MUL + ((rem % Y_MUL) // 2)
+    want = pdf.assign(parent=parent).groupby("parent")["value"].mean()
+    got = out.set_index("cell")["value"]
+    for p, v in want.items():
+        assert got[p] == pytest.approx(v, rel=1e-9)
+
+
+def test_weighted_stats(spark):
+    """A11: histogram-weighted stats == numpy repeat oracle."""
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"v": rng.normal(10, 3, 200), "w": rng.integers(0, 50, 200)})
+    df = spark.createDataFrame(pdf)
+    got = stats.weighted_stats(df, "v", "w").collect()[0]
+    expanded = np.repeat(pdf["v"].to_numpy(), pdf["w"].to_numpy())
+    assert got["count"] == len(expanded)
+    assert got["mean"] == pytest.approx(expanded.mean(), rel=1e-9)
+    assert got["stddev"] == pytest.approx(expanded.std(), rel=1e-6)
+    assert got["minval"] == pytest.approx(expanded.min())
+    assert got["maxval"] == pytest.approx(expanded.max())
+
+
+def test_write_with_stats_single_pass(spark, tmp_path):
+    """A10: observe() computes stats in the same action as the write."""
+    pdf, valid = _ramp_values(null_val=52)
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "out.parquet")
+    got = stats.write_with_stats(df, path, "value")
+    assert got["count"] == len(valid)
+    assert got["mean"] == pytest.approx(valid.mean(), rel=1e-9)
+    back = spark.read.parquet(path)
+    assert back.count() == len(pdf)
