@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the build spec requires:
+- ``cosine_topk_bruteforce`` — exact baseline: data matrix broadcast,
+  per-batch numpy GEMM + argpartition. The right answer for dims that
+  fit an executor (the broadcast-STRtree pattern again).
+- ``cosine_topk_ivf`` — the scale path: IVF (inverted file) index.
+  Centroids trained driver-side on a sample (numpy k-means), every
+  data row assigned to its nearest centroid (one map), queries probe
+  the nprobe nearest centroid lists only. Candidate generation is an
+  equi-join on centroid id — shuffle on a small key domain; exactness
+  is traded for nprobe (nprobe == k_centroids → exact).
+
+Also ``cosine_topk_sql_expr`` documents the pure-SQL formulation
+(F.aggregate/zip_with dot product) used by the oracle-checked query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def cosine_sim_col(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<float> columns with built-in
+    higher-order functions — JVM-side, no Python. DuckDB oracle:
+    list_cosine_similarity(a, b)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    data: pd.DataFrame,
+    k: int,
+    q_id: str = "qid",
+    q_emb: str = "embedding",
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, data broadcast. Output:
+    (q_id, neighbor_id, cosine, rank); ties broken on (-cosine, id)."""
+    spark = queries.sparkSession
+    dmat = _normalize(np.stack(data[d_emb].map(np.asarray).to_list()).astype(np.float64))
+    dids = data[d_id].to_numpy(np.int64)
+    bc = spark.sparkContext.broadcast((dmat, dids))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dm, di = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _normalize(
+                np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64)
+            )
+            sim = qm @ dm.T
+            kk = min(k, sim.shape[1])
+            idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(pdf))[:, None]
+            ssel = sim[rows, idx]
+            ord2 = np.lexsort((di[idx], -ssel), axis=1)
+            idx = idx[rows, ord2]
+            ssel = ssel[rows, ord2]
+            out = pd.DataFrame(
+                {
+                    q_id: pdf[q_id].to_numpy().repeat(kk),
+                    "neighbor_id": di[idx].ravel(),
+                    "cosine": ssel.ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf)),
+                }
+            )
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField(q_id, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return queries.select(q_id, q_emb).mapInPandas(kern, schema)
+
+
+def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (numpy) for IVF centroids."""
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        d = mat @ centroids.T
+        assign = np.argmax(d, axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 10000,
+    q_id: str = "qid",
+    q_emb: str = "embedding",
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-bucketed ANN: train centroids on a sample (driver), assign
+    data to centroid lists (map), probe nprobe lists per query
+    (equi-join on list id), exact rank within candidates.
+
+    Recall < 1 by design unless nprobe == n_centroids; the bench
+    reports recall@k against the brute-force baseline.
+    """
+    spark = queries.sparkSession
+    sample = data.select(d_emb).limit(sample_rows).toPandas()
+    smat = _normalize(np.stack(sample[d_emb].map(np.asarray).to_list()).astype(np.float64))
+    centroids = _kmeans(smat, n_centroids, seed=seed)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_data(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen = bc.value
+        for pdf in it:
+            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"list_id": lists, d_id: pdf[d_id], d_emb: pdf[d_emb]})
+
+    assigned = data.select(d_id, d_emb).mapInPandas(
+        assign_data, f"list_id int, {d_id} long, {d_emb} array<float>"
+    )
+
+    def assign_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen = bc.value
+        for pdf in it:
+            mat = _normalize(np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
+            sims = mat @ cen.T
+            probes = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep["list_id"] = probes.ravel()
+            yield rep[[q_id, q_emb, "list_id"]]
+
+    probed = queries.select(q_id, q_emb).mapInPandas(
+        assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
+    )
+
+    cand = probed.join(
+        assigned.withColumnRenamed(d_emb, "__demb"), "list_id"
+    ).withColumn("cosine", cosine_sim_col(q_emb, "__demb"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(d_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, F.col(d_id).alias("neighbor_id"), "cosine", "rank")
+    )

@@ -1,0 +1,312 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, each scale-designed (candidate generation is always a
+bucket equi-join — never an all-pairs cross join — so the shuffle is
+on bucket keys and hot buckets split under AQE):
+
+- exact        : md5 content hash groupBy — one shuffle
+- minhash LSH  : word-shingle minhash signatures (Arrow-batched numpy)
+                 → banded bucket join → signature-similarity verify
+- simhash      : 64-bit simhash, banded hamming candidates + verify
+- n-gram jaccard: exact jaccard verification over minhash candidates
+- embedding    : cosine near-dup via random-hyperplane LSH buckets
+
+Determinism: all hash functions are md5-derived or fixed-seed
+multiplicative — re-runs and different partitionings give identical
+results (the engine's answer-invariance-under-concurrency contract,
+mirroring rios/riostests/testavgthreads.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE61 = (1 << 61) - 1
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content hash. One shuffle
+    (partial+final min agg), then a semi join back — no row movement of
+    the payload until the keep-set is known."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(content_hash, n_docs, keep_id) for groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- minhash -----------------------------------------------------------------
+
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    # a < 2^31 and shingle bases reduced to 30 bits keep a*base+b < 2^62:
+    # the whole minhash update is overflow-free int64 numpy (fast path)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, num_hashes, dtype=np.int64)
+    b = rng.integers(0, 1 << 31, num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_base_hashes(text: str, w: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < w:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+    out = np.empty(len(shingles), np.int64)
+    for i, s in enumerate(shingles):
+        out[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_w: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>) — per-doc minhash signature.
+
+    Arrow-batched numpy: for each doc, base = md5-60bit per shingle;
+    sig_i = min over shingles of (a_i * base + b_i) mod 2^61-1.
+    Zero shuffle — a pure map stage.
+    """
+    a, b = _hash_params(num_hashes)
+
+    def kern(it):
+        for pdf in it:
+            sigs = []
+            for t in pdf[text_col]:
+                base = _shingle_base_hashes(t or "", shingle_w) & ((1 << 30) - 1)
+                m = (a[:, None] * base[None, :] + b[:, None]) % MERSENNE61
+                sigs.append(m.min(axis=1))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": [s.tolist() for s in sigs]}
+            )
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("sig", T.ArrayType(T.LongType()))]
+    )
+    return df.select(id_col, text_col).mapInPandas(kern, schema)
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs via banded LSH + signature-jaccard verify.
+
+    Band hash = xxhash64 of the band's slice; bucket join on
+    (band, band_hash); pairs deduped (id1 < id2); estimated jaccard =
+    fraction of agreeing signature positions; keep >= threshold.
+    """
+    num_hashes = len(sigs.select("sig").first()["sig"])
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for bi in range(bands):
+        sl = F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(bi).alias("band"), F.xxhash64(sl).alias("bh")))
+    exploded = sigs.select(
+        F.col(id_col), "sig", F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "sig", "b.band", "b.bh")
+
+    left = exploded.select(
+        F.col(id_col).alias("id1"), F.col("sig").alias("sig1"), "band", "bh"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id2"), F.col("sig").alias("sig2"), "band", "bh"
+    )
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda v: v))
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+# --- exact n-gram jaccard verify ---------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact w-shingle jaccard for candidate pairs (id1, id2).
+
+    The verify stage of the dedup pipeline: join texts to both sides
+    (the candidate set is small relative to the corpus), compute exact
+    set jaccard in an Arrow batch.
+    """
+    t1 = df.select(F.col(id_col).alias("id1"), F.col(text_col).alias("t1"))
+    t2 = df.select(F.col(id_col).alias("id2"), F.col(text_col).alias("t2"))
+    joined = candidates.select("id1", "id2").join(t1, "id1").join(t2, "id2")
+
+    def kern(it):
+        for pdf in it:
+            jac = np.empty(len(pdf), np.float64)
+            for i, (a, b) in enumerate(zip(pdf["t1"], pdf["t2"])):
+                sa = set(map(tuple, _ngrams((a or "").split(), w)))
+                sb = set(map(tuple, _ngrams((b or "").split(), w)))
+                u = len(sa | sb)
+                jac[i] = (len(sa & sb) / u) if u else 1.0
+            out = pdf[["id1", "id2"]].copy()
+            out["jaccard"] = jac
+            yield out
+
+    schema = "id1 long, id2 long, jaccard double"
+    return joined.mapInPandas(kern, schema).filter(F.col("jaccard") >= threshold)
+
+
+def _ngrams(toks: list, w: int):
+    if len(toks) < w:
+        return [tuple(toks)] if toks else []
+    return [tuple(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash_col_udf():
+    """64-bit simhash as an Arrow-batched UDF: per token, md5-derived
+    64-bit hash votes +1/-1 per bit; sign of the vote sum is the bit."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), np.int64)
+        for i, t in enumerate(text):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            votes = np.zeros(64, np.int64)
+            for tok in toks:
+                h = np.uint64(int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16))
+                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out[i] = np.int64(np.uint64(sh).astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, simhash_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash: 4 bands of 16 bits generate
+    candidates (any pair within hamming<=3 of 64 bits shares at least
+    one exact 16-bit band by pigeonhole... for <=3 flipped bits over 4
+    bands), verified by exact popcount hamming distance (bit_count —
+    JVM-side)."""
+    bands = [
+        F.shiftright(F.col(simhash_col), 16 * i).bitwiseAND(F.lit(0xFFFF).cast("long"))
+        for i in range(4)
+    ]
+    exploded = df.select(
+        F.col(id_col),
+        F.col(simhash_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), b.alias("bh")) for i, b in enumerate(bands)])
+        ).alias("b"),
+    ).select(id_col, simhash_col, "b.band", "b.bh")
+    left = exploded.select(F.col(id_col).alias("id1"), F.col(simhash_col).alias("s1"), "band", "bh")
+    right = exploded.select(F.col(id_col).alias("id2"), F.col(simhash_col).alias("s2"), "band", "bh")
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# --- embedding cosine --------------------------------------------------------
+
+def embedding_near_dup(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Bucket = sign pattern of `planes` random projections (one int key);
+    within-bucket exact cosine via numpy in an Arrow batch. Recall is
+    per-bucket (standard LSH trade-off); raise `planes` for precision,
+    add rotations for recall. Exact verification means NO false
+    positives ever.
+    """
+    first = df.select(emb_col).first()
+    dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    h = rng.normal(size=(dim, planes))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(h)
+
+    def bucketize(it):
+        hv = bc.value
+        for pdf in it:
+            mat = np.stack(pdf[emb_col].map(np.asarray).to_list()).astype(np.float64)
+            signs = (mat @ hv) > 0
+            key = (signs.astype(np.int64) << np.arange(signs.shape[1])).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "bucket": key, "emb": pdf[emb_col]}
+            )
+
+    bucketed = df.select(id_col, emb_col).mapInPandas(
+        bucketize, f"id long, bucket long, emb array<float>"
+    )
+
+    def pairs_in_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
+                {"id1": np.int64, "id2": np.int64, "cosine": np.float64}
+            )
+        mat = np.stack(pdf["emb"].map(np.asarray).to_list()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sim = mat @ mat.T
+        ids = pdf["id"].to_numpy()
+        iu = np.triu_indices(len(pdf), k=1)
+        keep = sim[iu] >= threshold
+        a, bdx = iu[0][keep], iu[1][keep]
+        lo = np.minimum(ids[a], ids[bdx])
+        hi = np.maximum(ids[a], ids[bdx])
+        return pd.DataFrame({"id1": lo, "id2": hi, "cosine": sim[iu][keep]})
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(pairs_in_bucket, "id1 long, id2 long, cosine double")
+        .dropDuplicates(["id1", "id2"])
+    )

@@ -1,0 +1,125 @@
+"""Text analysis operators over the pages/documents tables.
+
+These are the web-text counterparts of RIOS's per-block kernels: pure
+functions of one row's text, evaluated vectorized. Wherever the
+computation is expressible with built-in Spark SQL functions we stay
+JVM-side (whole-stage codegen, and a DuckDB-translatable oracle);
+only html parsing and language scoring use Arrow-batched pandas UDFs.
+
+Operators (SURVEY.md §2.8 D2 + the training-data additions):
+- extract_text_udf — deterministic html→text (byte-identical per url,
+  the driver input_hint invariant; see datagen.extract_text)
+- token_count_col / bpe_token_count_col — whitespace and BPE-ish
+  regex token counts (built-in expressions)
+- quality_score_col — length/punctuation/uppercase/digit ratios
+  composite (built-in expressions)
+- fingerprint_col — 60-bit md5-based document fingerprint; identical
+  arithmetic exists in DuckDB for the oracle
+- lang_id_udf — stopword-overlap n-gram heuristic language id
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from rios_spark.datagen import _VOCAB, extract_text
+
+
+# --- html → text ------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched html→text. extractor(html) == text byte-for-byte
+    for every url (verified in tests and by the sha2 invariant query)."""
+    return html.map(lambda b: extract_text(bytes(b)))
+
+
+# --- token counting (built-in expressions, JVM-side) ------------------------
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace token count. DuckDB oracle:
+    len(regexp_split_to_array(trim(text), '\\s+'))."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    """BPE-ish token count: word pieces + standalone digits/punct.
+    Counts matches of a GPT-2-style pre-tokenizer regex (simplified to
+    what Spark and DuckDB both support): runs of letters, runs of
+    digits, single non-space symbols."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def quality_score_col(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: favors mid-length docs with low
+    punctuation/digit density. Deterministic closed form so the oracle
+    can reproduce it:
+      len_score  = least(1, n_chars / 500)
+      punct_frac = punct_chars / n_chars
+      digit_frac = digit_chars / n_chars
+      score      = round(len_score * (1 - punct_frac) * (1 - digit_frac), 6)
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t).cast("double")
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    digit = F.regexp_count(t, F.lit(r"[0-9]")).cast("double")
+    len_score = F.least(F.lit(1.0), n / F.lit(500.0))
+    score = len_score * (F.lit(1.0) - punct / n) * (F.lit(1.0) - digit / n)
+    return F.when(n > 0, F.round(score, 6)).otherwise(F.lit(0.0))
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+def fingerprint_col(text: Column | str) -> Column:
+    """60-bit content fingerprint: first 15 hex chars of md5.
+    Spark: conv(substr(md5(text),1,15),16,10) cast bigint;
+    DuckDB oracle: ('0x' || substr(md5(text),1,15))::BIGINT."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint_sql_duckdb(text_expr: str) -> str:
+    return f"(('0x' || substr(md5({text_expr}), 1, 15))::BIGINT)"
+
+
+# --- language id -------------------------------------------------------------
+
+_LANG_STOPWORDS = {lang: frozenset(words) for lang, words in _VOCAB.items()}
+
+
+def make_lang_id_udf():
+    """Stopword-overlap language id (n-gram heuristic class of
+    detectors). Returns argmax language by fraction of tokens found in
+    each language's stopword list; 'und' when nothing matches.
+    Vectorized per Arrow batch; ties broken by language code order for
+    determinism."""
+    langs = sorted(_LANG_STOPWORDS)
+    tables = {lang: _LANG_STOPWORDS[lang] for lang in langs}
+
+    @F.pandas_udf(StringType())
+    def lang_id(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=object)
+        for i, t in enumerate(text):
+            toks = (t or "").lower().split()
+            if not toks:
+                out[i] = "und"
+                continue
+            best_lang, best = "und", 0
+            for lang in langs:
+                hits = sum(1 for w in toks if w in tables[lang])
+                if hits > best:
+                    best, best_lang = hits, lang
+            out[i] = best_lang
+        return pd.Series(out)
+
+    return lang_id

@@ -1,0 +1,227 @@
+"""Text analysis, dedup, and ANN operators — numpy/DuckDB oracles,
+run over the synthetic pages plus the driver's real documents and
+embeddings tables at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rios_spark import ann, datagen, dedup, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_extract_text_udf_byte_identical(spark):
+    pages = datagen.gen_pages(400)
+    df = spark.createDataFrame(pages[["url", "html", "text"]])
+    out = (
+        df.withColumn("extracted", textops.extract_text_udf("html"))
+        .withColumn("match", F.sha2(F.col("extracted"), 256) == F.sha2(F.col("text"), 256))
+        .agg(F.sum(F.col("match").cast("int")).alias("ok"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert out["ok"] == out["n"] == 400
+
+
+def test_token_count_matches_duckdb(spark, docs):
+    got = (
+        docs.select("doc_id", textops.token_count_col("text").alias("n_tokens"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""select doc_id, len(regexp_split_to_array(trim(text), '\\s+')) n
+            from read_parquet('{SF}/documents.parquet') order by doc_id"""
+    ).df()
+    assert (got["n_tokens"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_quality_and_bpe_counts(spark, docs):
+    out = docs.select(
+        "doc_id",
+        textops.quality_score_col("text").alias("q"),
+        textops.bpe_token_count_col("text").alias("bpe"),
+    ).toPandas()
+    assert out["q"].between(0, 1).all()
+    assert (out["bpe"] > 0).all()
+    # oracle one row by hand
+    import re
+
+    row = docs.filter(F.col("doc_id") == 0).select("text").first()
+    t = row["text"]
+    want_bpe = len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t))
+    assert out[out.doc_id == 0]["bpe"].iloc[0] == want_bpe
+
+
+def test_fingerprint_matches_duckdb(spark, docs):
+    got = (
+        docs.select("doc_id", textops.fingerprint_col("text").alias("fp"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""select doc_id, {textops.fingerprint_sql_duckdb('text')} fp
+            from read_parquet('{SF}/documents.parquet') order by doc_id"""
+    ).df()
+    assert (got["fp"].to_numpy() == want["fp"].to_numpy()).all()
+
+
+def test_lang_id_on_pages(spark):
+    pages = datagen.gen_pages(600)
+    df = spark.createDataFrame(pages[["page_id", "text", "lang"]])
+    out = df.withColumn("pred", textops.make_lang_id_udf()("text")).toPandas()
+    acc = (out["pred"] == out["lang"]).mean()
+    assert acc > 0.9, f"lang-id accuracy {acc}"
+    # empty text → 'und'
+    empty = spark.createDataFrame(pd.DataFrame({"text": ["", "   "]}))
+    got = empty.withColumn("pred", textops.make_lang_id_udf()("text")).toPandas()
+    assert (got["pred"] == "und").all()
+
+
+def test_exact_dedup(spark, docs):
+    # plant exact duplicates deterministically
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dups = docs.unionByName(dup)
+    deduped = dedup.exact_dedup(with_dups, "text", "doc_id")
+    n0 = docs.count()
+    assert deduped.count() == n0  # duplicates removed
+    assert deduped.filter(F.col("doc_id") >= 100000).count() == 0  # kept min ids
+    groups = dedup.exact_dup_groups(with_dups, "text", "doc_id").toPandas()
+    assert len(groups) == 20
+    assert (groups["n_docs"] == 2).all()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    # plant near-duplicates: copy docs, tweak one token
+    base = docs.limit(30).toPandas()
+    tweaked = base.copy()
+    tweaked["doc_id"] = tweaked["doc_id"] + 200000
+    tweaked["text"] = tweaked["text"] + " extra"
+    both = spark.createDataFrame(
+        pd.concat([base, tweaked], ignore_index=True)[["doc_id", "text"]]
+    )
+    sigs = dedup.minhash_signatures(both, "text", "doc_id", num_hashes=64, shingle_w=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", bands=16, threshold=0.5).toPandas()
+    planted = set(zip(base["doc_id"], base["doc_id"] + 200000))
+    found = set(zip(pairs["id1"], pairs["id2"]))
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}: {sorted(planted - found)[:5]}"
+    # estimated jaccard should be high for planted pairs
+    hits = pairs[[(a, b) in planted for a, b in zip(pairs.id1, pairs.id2)]]
+    assert (hits["est_jaccard"] >= 0.5).all()
+
+
+def test_minhash_signature_determinism(spark, docs):
+    s1 = dedup.minhash_signatures(docs.limit(10), "text", "doc_id").toPandas()
+    s2 = dedup.minhash_signatures(
+        docs.limit(10).repartition(7), "text", "doc_id"
+    ).toPandas()
+    m1 = dict(zip(s1["doc_id"], s1["sig"].map(tuple)))
+    m2 = dict(zip(s2["doc_id"], s2["sig"].map(tuple)))
+    assert m1 == m2  # answer-invariance under partitioning
+
+
+def test_ngram_jaccard_verify(spark, docs):
+    base = docs.limit(10).toPandas()
+    twin = base.copy()
+    twin["doc_id"] += 300000
+    both = spark.createDataFrame(pd.concat([base, twin])[["doc_id", "text"]])
+    cands = spark.createDataFrame(
+        pd.DataFrame({"id1": base["doc_id"], "id2": base["doc_id"] + 300000})
+    )
+    out = dedup.ngram_jaccard_pairs(both, cands, "text", "doc_id", w=3, threshold=0.99).toPandas()
+    assert len(out) == 10
+    assert (out["jaccard"] == 1.0).all()
+
+
+def test_simhash_near_dups(spark, docs):
+    df = docs.limit(40).withColumn("simhash", dedup.simhash_col_udf()("text"))
+    dup = df.withColumn("doc_id", F.col("doc_id") + 400000)
+    both = df.unionByName(dup)
+    pairs = dedup.simhash_pairs(both, "doc_id", max_hamming=0).toPandas()
+    planted = set(zip(range(40), range(400000, 400040)))
+    found = set(zip(pairs["id1"], pairs["id2"]))
+    assert planted <= found  # identical text → hamming 0, always found
+    assert (pairs["hamming"] == 0).sum() >= 40
+
+
+def test_embedding_near_dup(spark, embs):
+    # plant: duplicate embeddings with tiny noise → cosine ~1
+    base = embs.limit(25).toPandas()
+    noisy = base.copy()
+    noisy["vec_id"] = noisy["vec_id"] + 500000
+    noisy["embedding"] = noisy["embedding"].map(
+        lambda v: (np.asarray(v) + 1e-4).astype(np.float32).tolist()
+    )
+    both = spark.createDataFrame(pd.concat([base, noisy])[["vec_id", "embedding"]])
+    pairs = dedup.embedding_near_dup(both, "embedding", "vec_id", threshold=0.999).toPandas()
+    found = set(zip(pairs["id1"], pairs["id2"]))
+    planted = set(zip(base["vec_id"], base["vec_id"] + 500000))
+    # LSH recall on essentially-identical vectors is 1 (same bucket)
+    assert planted <= found
+
+
+def _brute_cosine_oracle(qdf, ddf, k):
+    qm = np.stack(qdf["embedding"].map(np.asarray)).astype(np.float64)
+    dm = np.stack(ddf["embedding"].map(np.asarray)).astype(np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    dm = dm / np.linalg.norm(dm, axis=1, keepdims=True)
+    sim = qm @ dm.T
+    ids = ddf["vec_id"].to_numpy()
+    out = {}
+    for i, qid in enumerate(qdf["vec_id"]):
+        order = np.lexsort((ids, -sim[i]))[:k]
+        out[int(qid)] = [int(ids[j]) for j in order]
+    return out
+
+
+def test_cosine_topk_bruteforce_exact(spark, embs):
+    pdf = embs.toPandas()
+    qdf = pdf.head(20)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    got = (
+        ann.cosine_topk_bruteforce(queries, pdf, 5, q_id="qid")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert grp["neighbor_id"].tolist() == want[int(qid)]
+    # self-match is always rank 1 with cosine ~1
+    r1 = got[got["rank"] == 1]
+    assert (r1["qid"] == r1["neighbor_id"]).all()
+
+
+def test_cosine_topk_ivf_recall(spark, embs):
+    pdf = embs.toPandas()
+    queries = spark.createDataFrame(pdf.head(20)).withColumnRenamed("vec_id", "qid")
+    got = (
+        ann.cosine_topk_ivf(
+            queries, embs, 5, n_centroids=8, nprobe=4, q_id="qid"
+        )
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(pdf.head(20), pdf, 5)
+    hits = tot = 0
+    for qid, grp in got.groupby("qid"):
+        hits += len(set(grp["neighbor_id"]) & set(want[int(qid)]))
+        tot += 5
+    recall = hits / tot
+    assert recall >= 0.7, f"IVF recall@5 = {recall}"
