@@ -1,0 +1,118 @@
+"""Tiled table sources/sinks — the engine's storage layer.
+
+RIOS analogues re-expressed (SURVEY.md §2.1):
+- openOutfile/writeBlock/closeOutfiles (rios/imagewriter.py:37-193) →
+  ``write_tiled``: one atomic Spark write, partitioned by a coarse
+  parent cell (partition pruning) and sorted within partitions by the
+  fine cell (row-group locality). Each row written exactly once — the
+  seamless-stitch invariant.
+- readBlockOneFile/partition pruning (rios/imagereader.py:65-121,
+  rios/applier.py:1308-1326) → ``read_tiled`` with an optional cell-set
+  filter that prunes partitions at plan time.
+- ImageInfo metadata scan (rios/fileinfo.py:35-108) → ``table_info``.
+
+Deployment note: on a production cluster this module targets Iceberg
+(`df.writeTo(t).partitionedBy(bucket(N, cell))`, snapshot commit ==
+RIOS's close); this container has no Iceberg jars, so the same layout
+is realized as hive-partitioned parquet. The API is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rios_spark import datagen
+from rios_spark.grid import RES_MUL, cell_col, parent_col
+
+
+def write_tiled(
+    df: DataFrame,
+    path: str,
+    res: int,
+    partition_res: int | None = None,
+    cell: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Write partitioned by pcell (parent at partition_res, default
+    res-3 → 1/64 of the cell count as directories) and sorted within
+    files by the fine cell: queries filtering on cell prune partitions
+    via pcell min/max and skip row groups via the sort."""
+    if partition_res is None:
+        partition_res = max(0, res - 3)
+    out = df.withColumn("pcell", parent_col(cell, res, partition_res))
+    (
+        out.repartition("pcell")
+        .sortWithinPartitions(cell)
+        .write.mode(mode)
+        .partitionBy("pcell")
+        .parquet(path)
+    )
+
+
+def read_tiled(
+    spark: SparkSession,
+    path: str,
+    res: int,
+    cells: list[int] | None = None,
+    partition_res: int | None = None,
+) -> DataFrame:
+    """Read a tiled table; with `cells`, inject both the pcell partition
+    filter (directory pruning) and the cell filter (row-group skip)."""
+    if partition_res is None:
+        partition_res = max(0, res - 3)
+    df = spark.read.parquet(path)
+    if cells:
+        import numpy as np
+
+        from rios_spark.grid import np_parent
+
+        pcells = sorted(set(np_parent(np.asarray(cells, np.int64), partition_res).tolist()))
+        df = df.filter(F.col("pcell").isin(pcells)).filter(F.col("cell").isin(list(cells)))
+    return df.drop("pcell")
+
+
+@dataclass
+class TableInfo:
+    """ImageInfo analogue: what a consumer needs to align with a tiled
+    table (the tile-scheme check ≡ alignedWith, rios/pixelgrid.py:104)."""
+
+    n_rows: int
+    n_cells: int
+    resolutions: list[int]
+    columns: list[str]
+
+
+def table_info(df: DataFrame, cell: str = "cell") -> TableInfo:
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(cell).alias("c"),
+        F.collect_set(F.shiftright(F.col(cell), 58)).alias("r"),
+    ).collect()[0]
+    return TableInfo(
+        n_rows=agg["n"],
+        n_cells=agg["c"],
+        resolutions=sorted(int(x) for x in agg["r"]),
+        columns=df.columns,
+    )
+
+
+def pages_dataset(
+    spark: SparkSession,
+    n: int,
+    res: int,
+    cache_dir: str = "/root/repo/.data",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic pages table, generated once and cached as parquet
+    (bench input; TESTDATA.md seed discipline). Returns it tiled at
+    `res` with the cell column attached."""
+    path = os.path.join(cache_dir, f"pages_n{n}_s{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        pdf = datagen.gen_pages(n, seed=seed)
+        spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).withColumn("cell", cell_col("lat", "lon", res))

@@ -1,0 +1,176 @@
+"""Skew handling (adaptive split, salted agg), resume manifest,
+tiled table IO with partition pruning, and streaming/batch parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rios_spark import datagen, sources
+from rios_spark.grid import RES_MUL, cell_col, np_parent
+from rios_spark.plans import Manifest, adaptive_split, salted_agg
+from rios_spark.streaming import stream_tile_counts
+
+RES = 5
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    pdf = datagen.gen_pages(20000)
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("cell", cell_col("lat", "lon", RES))
+        .cache()
+    )
+
+
+def test_adaptive_split_bounds_cell_load(spark, pages):
+    before = pages.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert before > 1000  # the Zipf fixture produces a hot tile
+    split = adaptive_split(pages, RES, max_rows=1000, max_levels=6)
+    after = split.groupBy("cell").count().toPandas()
+    assert after["count"].max() <= 1000
+    # total rows preserved
+    assert after["count"].sum() == 20000
+    # mixed resolutions present, and every fine cell nests under its
+    # original coarse cell (quadtree coherence)
+    res_of = (after["cell"] // RES_MUL).astype(int)
+    assert res_of.min() == RES and res_of.max() > RES
+    # NOTE: never use .iterrows() on frames holding cell ids — it
+    # upcasts int64 rows to float64 and corrupts ids above 2^53.
+    joined = split.select("cell", "lat", "lon").toPandas()
+    fine = joined[(joined["cell"] // RES_MUL) > RES]
+    from rios_spark.grid import np_cell
+
+    par = np_parent(fine["cell"].to_numpy(np.int64), RES)
+    want_coarse = np_cell(fine["lat"].to_numpy(), fine["lon"].to_numpy(), RES)
+    assert (par == want_coarse).all()
+
+
+def test_salted_agg_matches_plain(spark, pages):
+    plain = (
+        pages.groupBy("cell")
+        .agg(
+            F.count("page_id").alias("n"),
+            F.sum("page_id").alias("s"),
+            F.min("lat").alias("mn"),
+            F.max("lat").alias("mx"),
+            F.avg("page_id").alias("m"),
+        )
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    salted = (
+        salted_agg(
+            pages,
+            ["cell"],
+            [
+                ("page_id", "count", "n"),
+                ("page_id", "sum", "s"),
+                ("lat", "min", "mn"),
+                ("lat", "max", "mx"),
+                ("page_id", "mean", "m"),
+            ],
+            salt=8,
+        )
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    assert (plain["n"] == salted["n"]).all()
+    assert np.allclose(plain["s"], salted["s"])
+    assert np.allclose(plain["mn"], salted["mn"])
+    assert np.allclose(plain["mx"], salted["mx"])
+    assert np.allclose(plain["m"], salted["m"])
+
+
+def test_manifest_resume(spark, pages, tmp_path):
+    """Kill/resume contract: a second run processes ONLY pending cells
+    and the output has no duplicates."""
+    man = Manifest(spark, str(tmp_path / "manifest"))
+    out = str(tmp_path / "out")
+    df = pages.select("cell", "page_id", "url")
+
+    # run 1: pretend the job died after doing half the cells — simulate
+    # by running on a filtered subset
+    cells = [r["cell"] for r in df.select("cell").distinct().collect()]
+    half = set(cells[: len(cells) // 2])
+    r1 = man.run_stage("job1", "tile", df.filter(F.col("cell").isin(list(half))), out, payload_col="url")
+    assert r1["cells_pending"] == len(half)
+
+    # run 2 (the resume): full input; only the other half is pending
+    r2 = man.run_stage("job1", "tile", df, out, payload_col="url")
+    assert r2["cells_total"] == len(cells)
+    assert r2["cells_pending"] == len(cells) - len(half)
+
+    # run 3: nothing pending — a no-op
+    r3 = man.run_stage("job1", "tile", df, out, payload_col="url")
+    assert r3["cells_pending"] == 0 and r3["rows_written"] == 0
+
+    # output complete and exactly-once
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert back.select("page_id").distinct().count() == df.count()
+
+    # lineage rows carry metrics
+    m = man.read().toPandas()
+    assert (m["status"] == "done").all()
+    assert m["n_rows"].sum() == df.count()
+    assert (m["n_bytes"] > 0).all()
+
+
+def test_write_read_tiled_partition_pruning(spark, pages, tmp_path):
+    path = str(tmp_path / "tiled")
+    sources.write_tiled(pages, path, RES)
+    back = sources.read_tiled(spark, path, RES)
+    assert back.count() == pages.count()
+
+    some_cells = [r["cell"] for r in pages.select("cell").distinct().limit(3).collect()]
+    pruned = sources.read_tiled(spark, path, RES, cells=some_cells)
+    want = pages.filter(F.col("cell").isin(some_cells)).count()
+    assert pruned.count() == want
+    # the plan must show a partition filter on pcell (directory pruning)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "pcell" in plan
+
+    info = sources.table_info(back)
+    assert info.n_rows == pages.count()
+    assert info.resolutions == [RES]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Streaming tile counts (file source, availableNow) == batch query
+    on the same data — the batch/stream parity guarantee."""
+    pdf = datagen.gen_pages(5000)
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_tile_counts(stream, RES, window="6 hours", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("tile_counts_test")
+        # complete mode so windows still inside the watermark at end-of-
+        # stream are visible too (append would withhold the final ones)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from tile_counts_test").toPandas()
+    want = (
+        spark.read.parquet(src)
+        .withColumn("cell", cell_col("lat", "lon", RES))
+        .groupBy(F.window("warc_ts", "6 hours").alias("win"), "cell")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), "cell", "n_pages")
+        .toPandas()
+    )
+    g = got.set_index(["win_start", "cell"])["n_pages"].sort_index()
+    w = want.set_index(["win_start", "cell"])["n_pages"].sort_index()
+    assert g.equals(w)
+    assert g.sum() == 5000
