@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine lives in rios_spark/ (see SURVEY.md §2 for the operator
+inventory these queries cover). Every queries() entry has a matching
+oracle_sql() DuckDB statement computing the same result with identical
+arithmetic, except the three documented rows-only entries
+(adaptive_split_docs, simhash_docs, extract_text_invariant — recursive
+split decisions, md5-bit voting, and UDF text extraction are not
+SQL-expressible). Self-check: python tools/check_oracles.py
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: geocode the documents
+    table, tile-assign at res 6 (pure JVM expressions), k-ring margin
+    join, per-tile own + 1-ring counts — the RIOS applier model's
+    minimum end-to-end slice (SURVEY.md §7.2 + J4)."""
+    from rios_spark.queries import q_margin_ring_counts
+
+    return q_margin_ring_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rios_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rios_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,835 @@
+"""Driver-contract query inventory (SURVEY.md §2 coverage).
+
+Every entry in QUERIES has a Spark implementation (idiomatic DataFrame
+API over the engine's operators) and, where ANSI-SQL-expressible, a
+DuckDB oracle in ORACLES computing the same result with IDENTICAL
+arithmetic. Geography for the TPC-H-ish tables is derived
+deterministically from integer keys (grid.geocode_sql/geocode_cols —
+same IEEE ops in both engines), so spatial operators get real SQL
+oracles.
+
+Column-name discipline: every aggregate/computed column is aliased
+identically on both sides (the driver hashes values after sorting
+columns by name). Doubles that accumulate in engine-specific order
+(fp sums over different groupings) are rounded on BOTH sides to a
+precision far above the error (round 6 for means, 2-4 for large sums).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rios_spark import spatial, textops
+from rios_spark.dedup import MERSENNE61
+from rios_spark.grid import (
+    RES_MUL,
+    Y_MUL,
+    cell_col,
+    cell_sql,
+    geocode_cols,
+    geocode_sql,
+    parent_col,
+)
+from rios_spark.margin import OWNER, with_margin
+from rios_spark.plans import adaptive_split, salted_agg
+
+# resolutions used throughout the inventory
+DOC_RES = 6
+CUST_RES = 5
+
+
+def _f6(c):
+    """Stabilize a double to 6 decimals via floor-scaling. Unlike
+    round(), floor has no tie-breaking mode, so Spark (HALF_UP) and
+    DuckDB (half-even) can never disagree on an exact .5e-6 tie —
+    observed in practice when a sum divides by a power of two."""
+    return F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+def _f6_sql(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0) / 1000000.0)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _geo(df: DataFrame, key: str, res: int) -> DataFrame:
+    lat, lon = geocode_cols(key)
+    return df.withColumn("lat", lat).withColumn("lon", lon).withColumn(
+        "cell", cell_col("lat", "lon", res)
+    )
+
+
+def _geo_sql(key_expr: str, res: int) -> str:
+    lat, lon = geocode_sql(key_expr)
+    return cell_sql(lat, lon, res)
+
+
+# --- S: spatial flagship ------------------------------------------------------
+
+
+def q_tile_counts_docs(spark, sf_dir):
+    """Pages-per-tile, the minimum end-to-end slice (SURVEY.md §7.2)."""
+    docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", DOC_RES)
+    return docs.groupBy("cell").agg(F.count("*").alias("n_docs"))
+
+
+O_TILE_COUNTS_DOCS = f"""
+SELECT {_geo_sql('doc_id', DOC_RES)} AS cell, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_tile_stats_customers(spark, sf_dir):
+    """Per-tile stats with the SALTED two-stage aggregation (A14)."""
+    cust = _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES)
+    out = salted_agg(
+        cust,
+        ["cell"],
+        [("c_acctbal", "count", "n"), ("c_acctbal", "sum", "s"), ("c_acctbal", "mean", "m")],
+        salt=8,
+    )
+    return out.select(
+        "cell",
+        F.col("n").cast("long").alias("n"),
+        F.round("s", 4).alias("acctbal_sum"),
+    ).withColumn("acctbal_mean", _f6(F.col("acctbal_sum") / F.col("n")))
+
+
+O_TILE_STATS_CUSTOMERS = f"""
+SELECT cell, n, acctbal_sum, floor(acctbal_sum / n * 1000000.0) / 1000000.0 AS acctbal_mean FROM (
+  SELECT {_geo_sql('c_custkey', CUST_RES)} AS cell, count(c_acctbal) AS n,
+         round(sum(c_acctbal), 4) AS acctbal_sum
+  FROM customer GROUP BY 1)
+"""
+
+
+def q_footprint_intersection(spark, sf_dir):
+    """INTERSECTION tile-set semantics (J2): cells present in BOTH the
+    documents and customer tile sets at CUST_RES."""
+    d = _geo(_t(spark, sf_dir, "documents"), "doc_id", CUST_RES).select("cell").distinct()
+    c = _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES).select("cell").distinct()
+    return d.join(c, "cell", "inner")
+
+
+O_FOOTPRINT_INTERSECTION = f"""
+SELECT {_geo_sql('doc_id', CUST_RES)} AS cell FROM documents
+INTERSECT
+SELECT {_geo_sql('c_custkey', CUST_RES)} AS cell FROM customer
+"""
+
+
+def q_footprint_union(spark, sf_dir):
+    """UNION footprint (J3) with null-filled per-source counts."""
+    d = (
+        _geo(_t(spark, sf_dir, "documents"), "doc_id", CUST_RES)
+        .groupBy("cell").agg(F.count("*").alias("n_docs"))
+    )
+    c = (
+        _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES)
+        .groupBy("cell").agg(F.count("*").alias("n_cust"))
+    )
+    return (
+        d.join(c, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+    )
+
+
+O_FOOTPRINT_UNION = f"""
+WITH d AS (SELECT {_geo_sql('doc_id', CUST_RES)} AS cell, count(*) n_docs FROM documents GROUP BY 1),
+     c AS (SELECT {_geo_sql('c_custkey', CUST_RES)} AS cell, count(*) n_cust FROM customer GROUP BY 1)
+SELECT coalesce(d.cell, c.cell) AS cell, coalesce(n_docs, 0) AS n_docs,
+       coalesce(n_cust, 0) AS n_cust
+FROM d FULL OUTER JOIN c ON d.cell = c.cell
+"""
+
+
+def q_margin_ring_counts(spark, sf_dir):
+    """The overlap-margin join (J4) as a query: for every occupied doc
+    tile, its own count and the total count over its 1-ring."""
+    docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", DOC_RES)
+    own = docs.groupBy("cell").agg(F.count("*").alias("n_own"))
+    ring = (
+        with_margin(docs.select("cell"), DOC_RES, 1)
+        .groupBy(F.col(OWNER).alias("cell"))
+        .agg(F.count("*").alias("n_ring"))
+    )
+    return own.join(ring, "cell", "inner").select("cell", "n_own", "n_ring")
+
+
+_N6 = 1 << DOC_RES
+O_MARGIN_RING_COUNTS = f"""
+WITH c AS (SELECT {_geo_sql('doc_id', DOC_RES)} AS cell, count(*) AS n FROM documents GROUP BY 1),
+     xy AS (SELECT cell, n, (cell % {RES_MUL}) // {Y_MUL} AS y, cell % {Y_MUL} AS x FROM c),
+     offs AS (SELECT a.dy, b.dx FROM (VALUES (-1),(0),(1)) a(dy) CROSS JOIN (VALUES (-1),(0),(1)) b(dx)),
+     nb AS (SELECT t.cell, t.n AS n_own, s.n AS n_nb
+            FROM xy t JOIN offs o ON true
+            JOIN xy s ON s.y = t.y + o.dy AND s.x = ((t.x + o.dx + {_N6}) % {_N6}))
+SELECT cell, any_value(n_own) AS n_own, sum(n_nb) AS n_ring FROM nb GROUP BY cell
+"""
+
+
+_RECTS = [
+    (0, -150.0, -60.0, 150.0, 60.0),
+    (1, -90.0, -40.0, 0.0, 20.0),
+    (2, 10.0, -10.0, 100.0, 55.0),
+    (3, -60.0, 80.0, 60.0, 88.0),  # disjoint from geocode lat band [-85,85]... not quite; keep: sparse
+]
+
+
+def q_zonal_rect_docs(spark, sf_dir):
+    """Zonal statistics (A14/J6): PIP join of geocoded documents against
+    rectangle polygons (exact ray-cast kernel) → per-polygon stats."""
+    import pandas as pd
+
+    docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", DOC_RES)
+    polys = pd.DataFrame(
+        [
+            {"polygon_id": pid, "xs": [x0, x1, x1, x0], "ys": [y0, y0, y1, y1]}
+            for pid, x0, y0, x1, y1 in _RECTS
+        ]
+    )
+    out = spatial.zonal_stats(docs, polys, DOC_RES, "n_chars")
+    return out.select(
+        "polygon_id",
+        F.col("count").alias("n"),
+        F.round("sum", 4).alias("chars_sum"),
+        _f6(F.col("mean")).alias("chars_mean"),
+        F.col("minval").alias("chars_min"),
+        F.col("maxval").alias("chars_max"),
+    )
+
+
+def _o_zonal_rect() -> str:
+    lat, lon = geocode_sql("doc_id")
+    parts = []
+    for pid, x0, y0, x1, y1 in _RECTS:
+        parts.append(
+            f"""SELECT {pid} AS polygon_id, count(*) AS n,
+                round(sum(n_chars), 4) AS chars_sum,
+                floor(sum(n_chars)/count(*) * 1000000.0) / 1000000.0 AS chars_mean,
+                cast(min(n_chars) as double) AS chars_min,
+                cast(max(n_chars) as double) AS chars_max
+                FROM documents
+                WHERE {lon} >= {x0} AND {lon} < {x1}
+                  AND {lat} >= {y0} AND {lat} < {y1}
+                HAVING count(*) > 0"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+O_ZONAL_RECT_DOCS = _o_zonal_rect()
+
+
+_PENT = [
+    (40.0 + 25.0 * np.cos(a), 10.0 + 20.0 * np.sin(a))
+    for a in (np.linspace(0, 2 * np.pi, 6)[:-1] + 0.3)
+]
+
+
+def _convex_pip_sql(lat_expr: str, lon_expr: str) -> str:
+    """Strictly-inside test for the convex pentagon: same half-plane
+    cross-product text evaluated by Spark SQL and DuckDB (bit-identical
+    IEEE ops → exact parity)."""
+    terms = []
+    n = len(_PENT)
+    for i in range(n):
+        x1, y1 = _PENT[i]
+        x2, y2 = _PENT[(i + 1) % n]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * (({lat_expr}) - {y1!r})"
+            f" - (({lon_expr}) - {x1!r}) * ({y2!r} - {y1!r}) > 0.0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def q_zonal_pentagon_docs(spark, sf_dir):
+    """Convex-polygon zonal aggregate: PIP as a pure half-plane SQL
+    expression (JVM-side, codegen — no Python at all)."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    lat, lon = geocode_sql("doc_id")
+    return spark.sql(
+        f"""SELECT count(*) AS n, round(sum(n_chars), 4) AS chars_sum
+            FROM documents WHERE {_convex_pip_sql(lat, lon)}"""
+    )
+
+
+def _o_zonal_pentagon() -> str:
+    lat, lon = geocode_sql("doc_id")
+    return f"""SELECT count(*) AS n, round(sum(n_chars), 4) AS chars_sum
+               FROM documents WHERE {_convex_pip_sql(lat, lon)}"""
+
+
+O_ZONAL_PENTAGON_DOCS = _o_zonal_pentagon()
+
+
+def q_knn_cust_supp(spark, sf_dir):
+    """kNN join (J7/J8): 3 nearest suppliers per customer (haversine),
+    deterministic tie-break on supplier key."""
+    cust = _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES).select(
+        "c_custkey", "lat", "lon", "cell"
+    )
+    lat, lon = geocode_cols((F.col("s_suppkey") * 13 + 7))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .select(F.col("s_suppkey").alias("id"), "lat", "lon")
+        .toPandas()
+    )
+    out = spatial.knn_bruteforce(cust, supp, 3, d_id="id")
+    return out.select(
+        "c_custkey",
+        F.col("neighbor_id").alias("s_suppkey"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.floor(F.col("dist_km") * F.lit(100000.0)) / F.lit(100000.0)).alias("dist_km"),
+    )
+
+
+def _o_knn() -> str:
+    clat, clon = geocode_sql("c_custkey")
+    slat, slon = geocode_sql("(s_suppkey*13+7)")
+    dist = (
+        f"(2.0 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians(({slat}) - ({clat})) / 2), 2)"
+        f" + cos(radians({clat})) * cos(radians({slat}))"
+        f" * pow(sin(radians(({slon}) - ({clon})) / 2), 2))))"
+    )
+    return f"""
+    SELECT c_custkey, s_suppkey, rank, floor(dist_km * 100000.0) / 100000.0 AS dist_km FROM (
+      SELECT c.c_custkey, s.s_suppkey, {dist} AS dist_km,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY {dist}, s.s_suppkey) AS rank
+      FROM customer c CROSS JOIN supplier s)
+    WHERE rank <= 3
+    """
+
+
+O_KNN_CUST_SUPP = _o_knn()
+
+
+def q_pyramid_docs(spark, sf_dir):
+    """Pyramid rollup (A8): doc tile counts re-keyed to res-4 parents."""
+    docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", DOC_RES)
+    return (
+        docs.groupBy(parent_col("cell", DOC_RES, DOC_RES - 2).alias("cell"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+O_PYRAMID_DOCS = f"""
+SELECT {_geo_sql('doc_id', DOC_RES - 2)} AS cell, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_adaptive_split_docs(spark, sf_dir):
+    """Adaptive resolution splitting (rows-only check: the recursive
+    split decision is not expressible in one SQL statement)."""
+    docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", CUST_RES)
+    split = adaptive_split(docs, CUST_RES, max_rows=16, max_levels=4)
+    return split.groupBy("cell").agg(F.count("*").alias("n_docs"))
+
+
+# --- A: statistics ------------------------------------------------------------
+
+
+def q_stats_lineitem(spark, sf_dir):
+    """Single-pass basic stats (A1) with the reference's final
+    arithmetic (population stddev from sum/ssq)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_quantity").cast("double")
+    agg = li.agg(
+        F.count(v).alias("n"),
+        F.min(v).alias("minval"),
+        F.max(v).alias("maxval"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ssq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ssq") / F.col("n") - mean * mean
+    return agg.select(
+        "n", "minval", "maxval",
+        _f6(mean).alias("mean"),
+        _f6(F.when(var >= 0, F.sqrt(var)).otherwise(F.lit(0.0))).alias("stddev"),
+    )
+
+
+O_STATS_LINEITEM = """
+SELECT count(l_quantity) AS n, min(l_quantity) AS minval, max(l_quantity) AS maxval,
+       floor(sum(l_quantity)/count(l_quantity) * 1000000.0) / 1000000.0 AS mean,
+       floor(sqrt(sum(l_quantity*l_quantity)/count(l_quantity)
+             - pow(sum(l_quantity)/count(l_quantity), 2)) * 1000000.0) / 1000000.0 AS stddev
+FROM lineitem
+"""
+
+
+def q_stats_per_tile_orders(spark, sf_dir):
+    orders = _geo(_t(spark, sf_dir, "orders"), "o_custkey", CUST_RES)
+    return (
+        orders.groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        # mean from the ROUNDED sum: fp accumulation order differs
+        # between engines, so dividing the stabilized sum is the only
+        # way to make round(mean, 6) bit-identical to the oracle
+        .withColumn("price_mean", _f6(F.col("price_sum") / F.col("n")))
+    )
+
+
+O_STATS_PER_TILE_ORDERS = f"""
+SELECT cell, n, price_sum, floor(price_sum / n * 1000000.0) / 1000000.0 AS price_mean FROM (
+  SELECT {_geo_sql('o_custkey', CUST_RES)} AS cell, count(*) AS n,
+         round(sum(o_totalprice), 2) AS price_sum
+  FROM orders GROUP BY 1)
+"""
+
+
+def q_histogram_direct_qty(spark, sf_dir):
+    """Direct histogram (A2/A3: integer range <= 256 bins → one bin per
+    value, the RIOS 'direct' binFunction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_quantity").cast("long").alias("value"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_HISTOGRAM_DIRECT_QTY = """
+SELECT cast(l_quantity AS bigint) AS value, count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_histogram_linear_price(spark, sf_dir):
+    """Linear 256-bin histogram (A3 float rule): bin edges from the
+    observed min/max, computed in the same pass via a broadcast 1-row
+    cross join (no driver round-trip)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    mm = li.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    step = (F.col("mx") - F.col("mn")) / F.lit(256.0)
+    binc = F.floor((F.col("v") - F.col("mn")) / step)
+    binc = F.greatest(F.lit(0).cast("long"), F.least(binc, F.lit(255).cast("long")))
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .groupBy(binc.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_HISTOGRAM_LINEAR_PRICE = """
+WITH mm AS (SELECT min(l_extendedprice) mn, max(l_extendedprice) mx FROM lineitem)
+SELECT greatest(0, least(cast(floor((l_extendedprice - mn) / ((mx - mn) / 256.0)) AS bigint), 255)) AS bin,
+       count(*) AS n
+FROM lineitem, mm GROUP BY 1
+"""
+
+
+def q_median_mode_qty(spark, sf_dir):
+    """Median & mode from the direct histogram — the exact RIOS
+    arithmetic (A4, rios/calcstats.py:954-970) as a windowed query."""
+    hist = q_histogram_direct_qty(spark, sf_dir)
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("n")).collect()[0][0]
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    median = (
+        cum.filter(F.col("cum") >= tot / 2.0)
+        .agg(F.min("value").alias("median"))
+    )
+    mode = (
+        hist.orderBy(F.desc("n"), F.asc("value")).limit(1).select(F.col("value").alias("mode"))
+    )
+    return median.crossJoin(mode)
+
+
+O_MEDIAN_MODE_QTY = """
+WITH hist AS (SELECT cast(l_quantity AS bigint) AS value, count(*) AS n FROM lineitem GROUP BY 1),
+     tot AS (SELECT sum(n) AS t FROM hist),
+     cum AS (SELECT value, sum(n) OVER (ORDER BY value) AS cum FROM hist)
+SELECT (SELECT min(value) FROM cum, tot WHERE cum >= t / 2.0) AS median,
+       (SELECT value FROM hist ORDER BY n DESC, value ASC LIMIT 1) AS mode
+"""
+
+
+def q_weighted_stats_part(spark, sf_dir):
+    """Histogram-weighted column stats (A11)."""
+    part = _t(spark, sf_dir, "part")
+    v = F.col("p_retailprice").cast("double")
+    w = F.col("p_size").cast("double")
+    agg = part.agg(
+        F.sum(w).alias("wsum"),
+        F.sum(v * w).alias("vw"),
+        F.min(F.when(w > 0, v)).alias("minval"),
+        F.max(F.when(w > 0, v)).alias("maxval"),
+    )
+    return agg.select(
+        F.col("wsum").cast("long").alias("weight_total"),
+        _f6(F.col("vw") / F.col("wsum")).alias("wmean"),
+        "minval",
+        "maxval",
+    )
+
+
+O_WEIGHTED_STATS_PART = """
+SELECT cast(sum(p_size) AS bigint) AS weight_total,
+       floor(sum(p_retailprice * p_size) / sum(p_size) * 1000000.0) / 1000000.0 AS wmean,
+       min(CASE WHEN p_size > 0 THEN p_retailprice END) AS minval,
+       max(CASE WHEN p_size > 0 THEN p_retailprice END) AS maxval
+FROM part
+"""
+
+
+# --- R: relational (TPC-H-style) ----------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum("l_discount"), 6).alias("__sd"),
+            F.count("*").alias("count_order"),
+        )
+        # means derived from rounded sums → bit-identical to the oracle
+        # regardless of each engine's fp accumulation order
+        .withColumn("avg_qty", _f6(F.col("sum_qty") / F.col("count_order")))
+        .withColumn("avg_disc", _f6(F.col("__sd") / F.col("count_order")))
+        .drop("__sd")
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       floor(sum_qty / count_order * 1000000.0) / 1000000.0 AS avg_qty,
+       floor(sd / count_order * 1000000.0) / 1000000.0 AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_discount), 6) AS sd,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus)
+"""
+
+
+def q_top_orders_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        rev.join(orders, rev["l_orderkey"] == orders["o_orderkey"])
+        .select("o_orderkey", "o_orderdate", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+O_TOP_ORDERS_REVENUE = """
+SELECT o_orderkey, o_orderdate, revenue FROM (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1) r
+JOIN orders ON l_orderkey = o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast-dim join chain (the small sides are broadcast — J1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+O_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation — identical query shape to the
+    streaming operator (streaming.stream_tile_counts), run in batch."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("__vs"))
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n",
+            _f6(F.col("__vs") / F.col("n")).alias("value_mean"),
+        )
+    )
+
+
+O_EVENTS_HOURLY = """
+SELECT hour, event_type, n, floor(vs / n * 1000000.0) / 1000000.0 AS value_mean FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         round(sum(value), 4) AS vs
+  FROM events GROUP BY 1, 2)
+"""
+
+
+# --- T: text / dedup / embeddings ---------------------------------------------
+
+
+def q_doc_text_metrics(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count_col("text").cast("long").alias("n_tokens"),
+        textops.bpe_token_count_col("text").cast("long").alias("n_bpe"),
+        textops.quality_score_col("text").alias("quality"),
+        textops.fingerprint_col("text").alias("fingerprint"),
+    )
+
+
+O_DOC_TEXT_METRICS = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+       CASE WHEN length(text) > 0 THEN
+         round(least(1.0, length(text)/500.0)
+               * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]'))*1.0/length(text))
+               * (1.0 - len(regexp_extract_all(text, '[0-9]'))*1.0/length(text)), 6)
+       ELSE 0.0 END AS quality,
+       {textops.fingerprint_sql_duckdb('text')} AS fingerprint
+FROM documents
+"""
+
+
+_LANGS_SQL = {
+    "en": ["the", "of", "and", "to", "in", "for", "with"],
+    "de": ["der", "die", "das", "und", "von", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "de", "pour", "avec"],
+    "es": ["el", "la", "los", "y", "de", "para", "con"],
+}
+
+
+def q_doc_lang_scores(spark, sf_dir):
+    """Language-id as a pure built-in expression: per-language stopword
+    hit counts (duplicates counted), JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")]
+    for lang, words in _LANGS_SQL.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: F.array_contains(arr, x)))
+        cols.append(hits.cast("long").alias(f"hits_{lang}"))
+    return docs.select(*cols)
+
+
+def _o_lang() -> str:
+    parts = []
+    for lang, words in _LANGS_SQL.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"len(list_filter(string_split(lower(text), ' '), x -> list_contains({lst}, x))) AS hits_{lang}"
+        )
+    return "SELECT doc_id, " + ", ".join(parts) + " FROM documents"
+
+
+O_DOC_LANG_SCORES = _o_lang()
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup keep-set: lowest doc_id per content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+O_EXACT_DEDUP_DOCS = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+_MH = [(1664525, 1013904223), (22695477, 1), (69069, 362437), (1103515245, 12345)]
+
+
+def q_minhash_w1_docs(spark, sf_dir):
+    """Word-level (w=1) minhash signature — the SQL-expressible minhash
+    variant: per doc, min over words of k affine hashes of the word's
+    md5-derived 30-bit base."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    base = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % F.lit(1 << 30)
+    aggs = [
+        F.min((F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE61)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def _o_minhash() -> str:
+    base = f"((('0x' || substr(md5(w), 1, 15))::BIGINT) % {1 << 30})"
+    aggs = ", ".join(
+        f"min(({a} * {base} + {b}) % {MERSENNE61}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH)
+    )
+    return f"""
+    SELECT doc_id, {aggs}
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id
+    """
+
+
+O_MINHASH_W1_DOCS = _o_minhash()
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 20 vectors (exact ANN
+    baseline); ranks only — cosine values are fp-order-dependent."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = (
+        embs.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    from rios_spark import ann
+
+    out = ann.cosine_topk_bruteforce(queries, embs.toPandas(), 5, q_id="qid")
+    return out.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+O_EMBEDDING_TOPK = """
+SELECT qid, neighbor_id, rank FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                      e.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 20)
+WHERE rank <= 5
+"""
+
+
+def q_simhash_docs(spark, sf_dir):
+    """64-bit simhash per document (rows-only check: md5-bit voting is
+    not reasonably SQL-expressible)."""
+    from rios_spark import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash_col_udf()("text").alias("simhash"))
+
+
+def q_extract_text_invariant(spark, sf_dir):
+    """The driver input_hint invariant, queryable: synthesize pages
+    deterministically, extract text from html, compare hashes.
+    Returns one row: (n_pages, n_byte_identical) — must be equal."""
+    import pandas as pd
+
+    from rios_spark import datagen
+
+    pages = datagen.gen_pages(2000)
+    df = spark.createDataFrame(pages[["url", "html", "text"]])
+    return (
+        df.withColumn("extracted", textops.extract_text_udf("html"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(
+                (F.sha2(F.col("extracted"), 256) == F.sha2(F.col("text"), 256)).cast("long")
+            ).alias("n_byte_identical"),
+        )
+    )
+
+
+# --- registry ------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tile_counts_docs": q_tile_counts_docs,
+    "tile_stats_customers": q_tile_stats_customers,
+    "footprint_intersection": q_footprint_intersection,
+    "footprint_union": q_footprint_union,
+    "margin_ring_counts": q_margin_ring_counts,
+    "zonal_rect_docs": q_zonal_rect_docs,
+    "zonal_pentagon_docs": q_zonal_pentagon_docs,
+    "knn_cust_supp": q_knn_cust_supp,
+    "pyramid_docs": q_pyramid_docs,
+    "adaptive_split_docs": q_adaptive_split_docs,
+    "stats_lineitem": q_stats_lineitem,
+    "stats_per_tile_orders": q_stats_per_tile_orders,
+    "histogram_direct_qty": q_histogram_direct_qty,
+    "histogram_linear_price": q_histogram_linear_price,
+    "median_mode_qty": q_median_mode_qty,
+    "weighted_stats_part": q_weighted_stats_part,
+    "tpch_q1": q_tpch_q1,
+    "top_orders_revenue": q_top_orders_revenue,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_hourly": q_events_hourly,
+    "doc_text_metrics": q_doc_text_metrics,
+    "doc_lang_scores": q_doc_lang_scores,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_w1_docs": q_minhash_w1_docs,
+    "embedding_topk": q_embedding_topk,
+    "simhash_docs": q_simhash_docs,
+    "extract_text_invariant": q_extract_text_invariant,
+}
+
+ORACLES: dict[str, str] = {
+    "tile_counts_docs": O_TILE_COUNTS_DOCS,
+    "tile_stats_customers": O_TILE_STATS_CUSTOMERS,
+    "footprint_intersection": O_FOOTPRINT_INTERSECTION,
+    "footprint_union": O_FOOTPRINT_UNION,
+    "margin_ring_counts": O_MARGIN_RING_COUNTS,
+    "zonal_rect_docs": O_ZONAL_RECT_DOCS,
+    "zonal_pentagon_docs": O_ZONAL_PENTAGON_DOCS,
+    "knn_cust_supp": O_KNN_CUST_SUPP,
+    "pyramid_docs": O_PYRAMID_DOCS,
+    "stats_lineitem": O_STATS_LINEITEM,
+    "stats_per_tile_orders": O_STATS_PER_TILE_ORDERS,
+    "histogram_direct_qty": O_HISTOGRAM_DIRECT_QTY,
+    "histogram_linear_price": O_HISTOGRAM_LINEAR_PRICE,
+    "median_mode_qty": O_MEDIAN_MODE_QTY,
+    "weighted_stats_part": O_WEIGHTED_STATS_PART,
+    "tpch_q1": O_TPCH_Q1,
+    "top_orders_revenue": O_TOP_ORDERS_REVENUE,
+    "revenue_by_nation": O_REVENUE_BY_NATION,
+    "events_hourly": O_EVENTS_HOURLY,
+    "doc_text_metrics": O_DOC_TEXT_METRICS,
+    "doc_lang_scores": O_DOC_LANG_SCORES,
+    "exact_dedup_docs": O_EXACT_DEDUP_DOCS,
+    "minhash_w1_docs": O_MINHASH_W1_DOCS,
+    "embedding_topk": O_EMBEDDING_TOPK,
+    # adaptive_split_docs, simhash_docs, extract_text_invariant:
+    # intentionally oracle-less (rows-only check) — non-SQL-expressible
+}
