@@ -119,6 +119,67 @@ def gen_pages(n: int, seed: int = SEED, n_hosts: int | None = None) -> pd.DataFr
     )
 
 
+def gen_pages_spark(spark, n: int, n_hosts: int | None = None, seed: int = SEED):
+    """Bulk pages generator, entirely in Spark built-in expressions
+    (JVM-side, distributed) — for bench-scale tables (millions of
+    rows) where the pandas generator's Python loop is too slow.
+
+    Same schema and invariants as gen_pages: Zipf-ish host skew (via a
+    cubed-uniform rank transform), per-host centroid + jitter
+    geocodes, deterministic text from a vocab, html embedding the text
+    so extract_text(html) == text byte-for-byte. Deterministic in
+    (n, n_hosts, seed) — pure expressions of the row id, no RNG state.
+    """
+    from pyspark.sql import functions as F
+
+    if n_hosts is None:
+        n_hosts = max(8, n // 2000)
+    vocab = _VOCAB["en"] + _COMMON
+    varr = F.array(*[F.lit(w) for w in vocab])
+
+    def h(col, salt):
+        # deterministic 32-bit hash chain (same shape as geocode_cols)
+        return ((col + F.lit(salt)) * F.lit(2654435761)) % F.lit(4294967296)
+
+    df = spark.range(n).withColumnRenamed("id", "page_id")
+    u = h(F.col("page_id"), seed) / F.lit(4294967296.0)
+    host = F.floor(F.lit(float(n_hosts)) * F.pow(u, F.lit(3.0))).cast("long")
+    df = df.withColumn("host", host)
+    hlat = h(F.col("host"), seed + 1) / F.lit(4294967296.0) * F.lit(124.0) - F.lit(57.0)
+    hlon = h(F.col("host"), seed + 2) / F.lit(4294967296.0) * F.lit(354.0) - F.lit(177.0)
+    jlat = (h(F.col("page_id"), seed + 3) / F.lit(4294967296.0) - F.lit(0.5)) * F.lit(3.0)
+    jlon = (h(F.col("page_id"), seed + 4) / F.lit(4294967296.0) - F.lit(0.5)) * F.lit(3.0)
+    ntok = (h(F.col("page_id"), seed + 5) % F.lit(24) + F.lit(8)).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(1), ntok),
+        lambda i: F.element_at(varr, (h(F.col("page_id") * 31 + i.cast("long"), seed + 6) % F.lit(len(vocab))).cast("int") + F.lit(1)),
+    )
+    text = F.concat_ws(" ", toks)
+    title = F.concat(F.lit("host"), F.lpad(F.col("host").cast("string"), 5, "0"),
+                     F.lit(" page "), F.col("page_id").cast("string"))
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><meta charset="utf-8"><title>'), title,
+            F.lit("</title></head><body><h1>"), title, F.lit("</h1><p>"),
+            text, F.lit('</p><div class="footer">crawl 2024</div></body></html>'),
+        ),
+        "utf-8",
+    )
+    ts = (F.lit("2024-01-01 00:00:00").cast("timestamp")
+          + F.make_interval(secs=(h(F.col("page_id"), seed + 7) % F.lit(31536000)).cast("double")))
+    return df.select(
+        "page_id",
+        F.concat(F.lit("https://host"), F.lpad(F.col("host").cast("string"), 5, "0"),
+                 F.lit(".example/p/"), F.col("page_id").cast("string")).alias("url"),
+        ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]), (F.col("host") % F.lit(len(LANGS))).cast("int") + F.lit(1)).alias("lang"),
+        (hlat + jlat).alias("lat"),
+        (hlon + jlon).alias("lon"),
+    )
+
+
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
 
 

@@ -110,6 +110,51 @@ def polygon_cover(polygons: pd.DataFrame, res: int) -> pd.DataFrame:
     return pd.concat(rows, ignore_index=True)
 
 
+def _ray_cast_expr(xs: np.ndarray, ys: np.ndarray, px, py):
+    """The even-odd ray cast compiled to a Spark Column expression —
+    the SAME arithmetic as ray_cast() (same ops, same half-open
+    semantics), but evaluated JVM-side inside whole-stage codegen.
+    Horizontal edges contribute nothing: `crosses` is false, and SQL
+    AND(false, NaN-compare) is false, matching numpy's masking."""
+    n = len(xs)
+    crossings = F.lit(0)
+    for i in range(n):
+        j = (i - 1) % n
+        xi, yi, xj, yj = float(xs[i]), float(ys[i]), float(xs[j]), float(ys[j])
+        if yj == yi:
+            continue  # horizontal edge never crosses (numpy mask parity)
+        crosses = (F.lit(yi) > py) != (F.lit(yj) > py)
+        xint = F.lit(xj - xi) * (py - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
+        crossings = crossings + (crosses & (px < xint)).cast("int")
+    return crossings % 2 == 1
+
+
+def _is_axis_rect(xs: np.ndarray, ys: np.ndarray) -> bool:
+    return (
+        len(xs) == 4
+        and len(set(xs.tolist())) == 2
+        and len(set(ys.tolist())) == 2
+    )
+
+
+def _poly_pred_expr(xs: np.ndarray, ys: np.ndarray, px, py):
+    """Per-polygon containment predicate, kept SHALLOW so the filter
+    stays inside WholeStageCodegen (a deep nested CASE chain knocks the
+    whole stage into interpreted evaluation — measured 20x slower).
+    Axis-aligned rectangles compile to 4 comparisons, which is exactly
+    what ray_cast computes for them ([xmin,xmax) x [ymin,ymax))."""
+    if _is_axis_rect(xs, ys):
+        x0, x1 = float(xs.min()), float(xs.max())
+        y0, y1 = float(ys.min()), float(ys.max())
+        return (px >= x0) & (px < x1) & (py >= y0) & (py < y1)
+    return _ray_cast_expr(xs, ys, px, py)
+
+
+# polygon sets up to this many total vertices run as pure JVM
+# expressions; larger sets use the Arrow-batched numpy kernel
+PIP_EXPR_MAX_VERTICES = 2048
+
+
 def pip_join(
     points: DataFrame,
     polygons: pd.DataFrame,
@@ -117,18 +162,67 @@ def pip_join(
     lat: str = "lat",
     lon: str = "lon",
     cell: str = "cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Inner join: each point row x each polygon containing it.
 
-    Plan shape: points ⋈(broadcast, on cell) cover → mapInPandas exact
-    ray-cast. One broadcast, zero shuffles of the big side. A point in
-    m polygons yields m rows; points in no polygon are dropped
-    (anti-join semantics preserved for the disjoint case, J9).
+    Plan shape: points ⋈(broadcast, on cell) cover → exact ray-cast.
+    One broadcast, zero shuffles of the big side. A point in m polygons
+    yields m rows; points in no polygon are dropped (anti-join
+    semantics preserved for the disjoint case, J9).
+
+    method='expr' (default for small polygon sets): the ray cast is
+    compiled into a CASE-dispatched Spark SQL expression — the whole
+    join is JVM-side, codegen'd, zero Python. method='arrow': the
+    vectorized numpy kernel (for polygon sets too large to compile
+    into an expression). Both produce identical results (tested).
     """
     spark = points.sparkSession
     cover = polygon_cover(polygons, res)
     cover_df = F.broadcast(spark.createDataFrame(cover, schema="polygon_id long, cell long"))
     cand = points.join(cover_df, on=cell, how="inner")
+
+    total_vertices = int(sum(len(p["xs"]) for _, p in polygons.iterrows()))
+    if method == "auto":
+        method = "expr" if total_vertices <= PIP_EXPR_MAX_VERTICES else "arrow"
+
+    if method == "expr":
+        # JIT-friendliness is the whole game here: ONE giant OR-of-ANDs
+        # filter condition codegens into a single method that crosses
+        # HotSpot's huge-method limit and runs as interpreted bytecode
+        # (measured: 8 branches 0.8s, 14 branches 40s on 7.4M rows).
+        # So polygons are packed into groups with a bounded predicate
+        # cost, each group filters its own (cover-pruned) candidate
+        # slice with a small JIT-able condition, and the slices union.
+        px, py = F.col(lon), F.col(lat)
+        groups: list[list] = [[]]
+        budget = 0
+        for _, p in polygons.iterrows():
+            xs = np.asarray(p["xs"], np.float64)
+            cost = 1 if _is_axis_rect(xs, np.asarray(p["ys"])) else len(xs)
+            if budget + cost > 12 and groups[-1]:
+                groups.append([])
+                budget = 0
+            groups[-1].append(p)
+            budget += cost
+
+        spark_cover = spark.createDataFrame(cover, schema="polygon_id long, cell long")
+        outs = []
+        for grp in groups:
+            pids = [int(p["polygon_id"]) for p in grp]
+            cov_g = F.broadcast(spark_cover.filter(F.col("polygon_id").isin(pids)))
+            cand_g = points.join(cov_g, on=cell, how="inner")
+            inside = F.lit(False)
+            for p in grp:
+                e = _poly_pred_expr(
+                    np.asarray(p["xs"], np.float64), np.asarray(p["ys"], np.float64), px, py
+                )
+                inside = inside | ((F.col("polygon_id") == int(p["polygon_id"])) & e)
+            outs.append(cand_g.filter(inside))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
 
     rings = {
         int(p["polygon_id"]): (
