@@ -194,6 +194,29 @@ def kring_cells_col(cell: Column | str, res: int, k: int) -> Column:
     return F.array_compact(F.array(*cells))
 
 
+def cell_coord_cols(cell: Column | str, res: int) -> dict[str, Column]:
+    """Per-tile world-coordinate columns — the getBlockCoordArrays
+    analogue (rios/readerinfo.py:234-258): centre + outer bounds of the
+    cell, pure expressions (no shuffle, codegen'd)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    n = float(1 << res)
+    rem = cell - F.lit(res * RES_MUL).cast("long")
+    y = F.shiftright(rem, 29).cast("double")
+    x = rem.bitwiseAND(F.lit(Y_MUL - 1).cast("long")).cast("double")
+    lon_min = x / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    lon_max = (x + 1) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+    lat_max = F.lit(90.0) - y / F.lit(n) * F.lit(180.0)
+    lat_min = F.lit(90.0) - (y + 1) / F.lit(n) * F.lit(180.0)
+    return {
+        "cell_lon_min": lon_min,
+        "cell_lat_min": lat_min,
+        "cell_lon_max": lon_max,
+        "cell_lat_max": lat_max,
+        "cell_lat": (lat_min + lat_max) / 2,
+        "cell_lon": (lon_min + lon_max) / 2,
+    }
+
+
 # ---------------------------------------------------------------------------
 # SQL text emitters (shared between Spark SQL and the DuckDB oracle)
 # ---------------------------------------------------------------------------

@@ -773,6 +773,108 @@ def q_extract_text_invariant(spark, sf_dir):
     )
 
 
+# --- W: window / set operations -------------------------------------------------
+
+
+def q_window_user_deltas(spark, sf_dir):
+    """Window function: per-user value delta from the previous event
+    (lag over (user_id, ts, event_id) — deterministic tie order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+O_WINDOW_USER_DELTAS = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+FROM events
+"""
+
+
+def q_topk_events_per_type(spark, sf_dir):
+    """Top-3 by value per event_type (O3 top-k), ties on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", "value", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+O_TOPK_EVENTS_PER_TYPE = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+WHERE rank <= 3
+"""
+
+
+def q_set_ops_keys(spark, sf_dir):
+    """Set operations (E-family): key-set intersection/difference
+    cardinalities between customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k")).distinct()
+    return spark.createDataFrame(
+        [
+            (
+                c.intersect(s).count(),
+                c.exceptAll(s).count(),
+                c.union(s).distinct().count(),
+            )
+        ],
+        "n_intersect long, n_except long, n_union long",
+    )
+
+
+O_SET_OPS_KEYS = """
+SELECT
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT s_suppkey FROM supplier)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer EXCEPT SELECT s_suppkey FROM supplier)) AS n_except,
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer UNION SELECT s_suppkey FROM supplier)) AS n_union
+"""
+
+
+def q_distinct_lang_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+O_DISTINCT_LANG_SOURCE = """
+SELECT lang, source, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_media_image_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): deterministic media fixture →
+    decode → per-channel stats + perceptual hash."""
+    from rios_spark import multimodal
+
+    media = multimodal.gen_media(spark, 90)
+    return multimodal.image_features(media)
+
+
+def q_rat_color_table(spark, sf_dir):
+    """RAT color-table generation over the part-size category table
+    (rows-only; colors are deterministic engine expressions)."""
+    from rios_spark import rat
+
+    cats = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_size").alias("value"))
+        .agg(F.count("*").alias("histogram"))
+    )
+    return rat.add_color_table(cats, "value", "rainbow")
+
+
 # --- registry ------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -803,6 +905,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "simhash_docs": q_simhash_docs,
     "extract_text_invariant": q_extract_text_invariant,
+    "window_user_deltas": q_window_user_deltas,
+    "topk_events_per_type": q_topk_events_per_type,
+    "set_ops_keys": q_set_ops_keys,
+    "distinct_lang_source": q_distinct_lang_source,
+    "media_image_features": q_media_image_features,
+    "rat_color_table": q_rat_color_table,
 }
 
 ORACLES: dict[str, str] = {
@@ -830,6 +938,11 @@ ORACLES: dict[str, str] = {
     "exact_dedup_docs": O_EXACT_DEDUP_DOCS,
     "minhash_w1_docs": O_MINHASH_W1_DOCS,
     "embedding_topk": O_EMBEDDING_TOPK,
-    # adaptive_split_docs, simhash_docs, extract_text_invariant:
-    # intentionally oracle-less (rows-only check) — non-SQL-expressible
+    "window_user_deltas": O_WINDOW_USER_DELTAS,
+    "topk_events_per_type": O_TOPK_EVENTS_PER_TYPE,
+    "set_ops_keys": O_SET_OPS_KEYS,
+    "distinct_lang_source": O_DISTINCT_LANG_SOURCE,
+    # adaptive_split_docs, simhash_docs, extract_text_invariant,
+    # media_image_features, rat_color_table: intentionally oracle-less
+    # (rows-only check) — non-SQL-expressible or engine-internal fixtures
 }

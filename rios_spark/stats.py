@@ -204,6 +204,24 @@ def pyramid_average(df: DataFrame, res: int, k: int, value_cols: list[str]) -> D
     )
 
 
+def approx_stats(df: DataFrame, col: str, fraction: float = 0.1, seed: int = 42) -> DataFrame:
+    """Approximate statistics via sampling — the setApproxStats analogue
+    (rios/applier.py:823-843, which uses raster overviews the same way:
+    trade exactness for a much smaller scan). Adds approximate distinct
+    count and median (approx_count_distinct / percentile_approx)."""
+    s = df.sample(fraction=fraction, seed=seed)
+    v = F.col(col).cast("double")
+    return s.agg(
+        F.count(v).alias("sample_count"),
+        F.min(v).alias("minval"),
+        F.max(v).alias("maxval"),
+        F.avg(v).alias("mean"),
+        F.stddev_pop(v).alias("stddev"),
+        F.approx_count_distinct(col).alias("approx_distinct"),
+        F.percentile_approx(v, 0.5).alias("approx_median"),
+    )
+
+
 def weighted_stats(df: DataFrame, col: str, weight: str, group: list[str] | None = None) -> DataFrame:
     """Histogram-weighted column stats (rios/fileinfo.py:381-503
     ColumnStats): count/mean/stddev/min/max/sum where `weight` is the

@@ -1,0 +1,126 @@
+"""Multimodal plumbing, RAT operators, approx stats, coordinate columns."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rios_spark import multimodal, rat, stats
+from rios_spark.grid import cell_coord_cols, cell_col, np_cell, np_cell_center
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.gen_media(spark, 60).cache()
+
+
+def test_media_schema_and_roundtrip(spark, media):
+    assert media.count() == 60
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio"}
+    # fake codec roundtrip is exact
+    row = media.filter(F.col("kind") == "image").first()
+    img = multimodal._decode_image(bytes(row["payload"]), row["fmt"])
+    assert img.shape == (row["height"], row["width"], row["n_channels"])
+    assert multimodal._decode_image(multimodal._encode_fake(img), "fake").tolist() == img.tolist()
+
+
+def test_image_features_exact(spark, media):
+    feats = multimodal.image_features(media).toPandas().set_index("media_id")
+    rows = media.filter(F.col("kind") == "image").collect()
+    assert len(feats) == len(rows)
+    for r in rows[:10]:
+        img = multimodal._decode_image(bytes(r["payload"]), r["fmt"]).astype(np.float64)
+        got = feats.loc[r["media_id"]]
+        assert got["mean_r"] == pytest.approx(img[:, :, 0].mean())
+        assert got["std_gray"] == pytest.approx(img.mean(axis=2).std())
+        assert got["width"] == r["width"] and got["height"] == r["height"]
+
+
+def test_image_resize_shape_and_determinism(spark, media):
+    out = multimodal.image_resize(media, 8, 8).toPandas()
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    for p in out["payload"].head(5):
+        img = multimodal._decode_image(bytes(p), "fake")
+        assert img.shape == (8, 8, 3)
+    out2 = multimodal.image_resize(media, 8, 8).toPandas()
+    assert list(out["payload"]) == list(out2["payload"])  # deterministic bytes
+
+
+def test_real_codec_raises_not_implemented():
+    with pytest.raises(NotImplementedError, match="image codec"):
+        multimodal._decode_image(b"\xff\xd8\xff\xe0 jpegish", "jpeg")
+
+
+def test_audio_frames(spark, media):
+    frames = multimodal.audio_frame_sample(media, frame_ms=25).toPandas()
+    rows = {r["media_id"]: r for r in media.filter(F.col("kind") == "audio").collect()}
+    assert set(frames["media_id"]) == set(rows)
+    for mid, grp in frames.groupby("media_id"):
+        r = rows[mid]
+        spf = r["sample_rate"] * 25 // 1000
+        n_samples = r["sample_rate"] * r["duration_ms"] // 1000
+        assert len(grp) == n_samples // spf
+        assert (grp["rms"] > 0).all()
+
+
+def test_media_dedup_keys(spark, media):
+    dup = media.limit(6).withColumn("media_id", F.col("media_id") + 1000)
+    keys = multimodal.media_dedup_keys(media.unionByName(dup)).toPandas()
+    counts = keys.groupby("payload_sha256").size()
+    assert (counts == 2).sum() == 6  # planted byte-exact dups found
+    # images have a phash; audio rows have null phash
+    img_ids = {r["media_id"] for r in media.filter(F.col("kind") == "image").collect()}
+    assert keys[keys["media_id"].isin(img_ids)]["phash"].notna().all()
+
+
+def test_rat_apply_chunkwise(spark):
+    """testratapplier parity: sqrd = col1**2 computed chunk-wise
+    (rios/riostests/testratapplier.py:112-119)."""
+    pdf = pd.DataFrame({"value": np.arange(1000), "col1": np.arange(1000) * 3.0})
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    out = rat.rat_apply(
+        df, lambda c: c.assign(sqrd=c["col1"] ** 2)[["value", "sqrd"]],
+        "value long, sqrd double",
+    ).toPandas().sort_values("value")
+    assert (out["sqrd"].to_numpy() == (np.arange(1000) * 3.0) ** 2).all()
+
+
+def test_color_table(spark):
+    df = spark.createDataFrame(pd.DataFrame({"value": np.arange(256)}))
+    colored = rat.add_color_table(df, "value", "rainbow").toPandas()
+    for c in ("red", "green", "blue", "alpha"):
+        assert colored[c].between(0, 255).all()
+    # deterministic: run twice
+    colored2 = rat.add_color_table(df, "value", "rainbow").toPandas()
+    assert colored.equals(colored2)
+    norm = rat.normalize_colors_01(rat.add_color_table(df, "value", "gray")).toPandas()
+    assert norm["red"].between(0, 1).all()
+
+
+def test_approx_stats(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got = stats.approx_stats(li, "l_quantity", fraction=0.2).collect()[0]
+    exact = li.agg(F.avg("l_quantity"), F.countDistinct("l_quantity")).collect()[0]
+    assert got["mean"] == pytest.approx(exact[0], rel=0.05)
+    assert got["approx_distinct"] == pytest.approx(exact[1], rel=0.15)
+    assert 1 <= got["approx_median"] <= 50
+
+
+def test_cell_coord_cols(spark):
+    """testcoords parity: coordinate columns match np_cell_center."""
+    pdf = pd.DataFrame({"lat": np.linspace(-80, 80, 50), "lon": np.linspace(-170, 170, 50)})
+    df = spark.createDataFrame(pdf).withColumn("cell", cell_col("lat", "lon", 7))
+    coords = cell_coord_cols("cell", 7)
+    out = df.select("cell", *[v.alias(k) for k, v in coords.items()]).toPandas()
+    clat, clon = np_cell_center(out["cell"].to_numpy())
+    assert np.allclose(out["cell_lat"], clat)
+    assert np.allclose(out["cell_lon"], clon)
+    assert (out["cell_lat_min"] < out["cell_lat"]).all()
+    assert (out["cell_lon_max"] > out["cell_lon"]).all()
+    # the centre re-encodes to the same cell (round-trip contract)
+    back = np_cell(out["cell_lat"].to_numpy(), out["cell_lon"].to_numpy(), 7)
+    assert (back == out["cell"].to_numpy()).all()
