@@ -116,11 +116,32 @@ def _footprint_cells(
     raise ValueError(f"unknown footprint {footprint!r}")
 
 
+def apply_input_nulls(
+    df: DataFrame, nulls: dict[str, Any], keys: list[str]
+) -> DataFrame:
+    """Sentinel→NULL conversion at the input boundary — the
+    setInputNoDataValue analogue (rios/applier.py:421-451;
+    sentinel-null model rios/imagereader.py:102-115). nulls maps
+    column name → sentinel value; matching values become real NULLs
+    before the kernel ever sees them."""
+    cols = []
+    for c in df.columns:
+        if c in nulls and c not in keys:
+            cols.append(
+                F.when(F.col(c) == F.lit(nulls[c]), F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
 def build_working_set(
     inputs: dict[str, DataFrame],
     align_keys: list[str],
     footprint: str = INTERSECTION,
     reference: str | None = None,
+    select_layers: dict[str, list[str]] | None = None,
+    input_nulls: dict[str, dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Join N aligned inputs into the working DataFrame.
 
@@ -133,6 +154,13 @@ def build_working_set(
     many = len(inputs) > 1
     renamed = []
     for name, df in inputs.items():
+        if select_layers and name in select_layers:
+            # layer (column) selection — selectInputImageLayers analogue
+            # (rios/applier.py:730-743); Catalyst prunes the scan to
+            # exactly these columns
+            df = df.select(*keys, *select_layers[name])
+        if input_nulls and name in input_nulls:
+            df = apply_input_nulls(df, input_nulls[name], keys)
         cols = [F.col(k) for k in keys] + [
             F.col(c).alias(f"{name}__{c}" if many else c)
             for c in df.columns
@@ -161,6 +189,8 @@ def apply(
     res: int | None = None,
     other_args: dict[str, Any] | None = None,
     trim: bool = True,
+    select_layers: dict[str, list[str]] | None = None,
+    input_nulls: dict[str, dict[str, Any]] | None = None,
 ) -> DataFrame:
     """Run a per-tile vectorized kernel over N aligned inputs.
 
@@ -178,7 +208,10 @@ def apply(
     rios/structures.py:531-544).
     """
     align_keys = align_keys or []
-    working = build_working_set(inputs, align_keys, footprint, reference)
+    working = build_working_set(
+        inputs, align_keys, footprint, reference,
+        select_layers=select_layers, input_nulls=input_nulls,
+    )
 
     if margin > 0:
         if res is None:

@@ -199,18 +199,30 @@ def simhash_col_udf():
 
     @F.pandas_udf(T.LongType())
     def simhash(text: pd.Series) -> pd.Series:
+        # batch-vectorized: hash each UNIQUE token once per Arrow batch
+        # (documents share most vocabulary), then accumulate ±1 bit
+        # votes with matrix sums — identical output to the naive
+        # per-token loop, ~vocabulary/occurrences times fewer md5 calls
+        token_lists = [(t or "").split() for t in text]
+        vocab: dict[str, int] = {}
+        for toks in token_lists:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        shifts = np.arange(64, dtype=np.uint64)
+        H = np.empty((max(len(vocab), 1), 64), np.int64)
+        for tok, i in vocab.items():
+            h = np.uint64(int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16))
+            H[i] = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+        H = 2 * H - 1
         out = np.zeros(len(text), np.int64)
-        for i, t in enumerate(text):
-            toks = (t or "").split()
+        for r, toks in enumerate(token_lists):
             if not toks:
                 continue
-            votes = np.zeros(64, np.int64)
-            for tok in toks:
-                h = np.uint64(int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16))
-                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out[i] = np.int64(np.uint64(sh).astype(np.int64))
+            rows = np.fromiter((vocab[t] for t in toks), np.int64, len(toks))
+            votes = H[rows].sum(axis=0)
+            sh = ((votes > 0).astype(np.uint64) << shifts).sum()
+            out[r] = np.uint64(sh).astype(np.int64)
         return pd.Series(out)
 
     return simhash

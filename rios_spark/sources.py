@@ -36,13 +36,25 @@ def write_tiled(
     partition_res: int | None = None,
     cell: str = "cell",
     mode: str = "overwrite",
+    before_close=None,
 ) -> None:
     """Write partitioned by pcell (parent at partition_res, default
     res-3 → 1/64 of the cell count as directories) and sorted within
     files by the fine cell: queries filtering on cell prune partitions
-    via pcell min/max and skip row groups via the sort."""
+    via pcell min/max and skip row groups via the sort.
+
+    before_close: optional fn(df) -> df called on the final frame right
+    before the write — the callBeforeClose analogue
+    (rios/applier.py:845-858, invoked rios/imagewriter.py:179-182;
+    contract test rios/riostests/testbeforeclose.py). In Iceberg terms
+    this runs before the snapshot commit."""
     if partition_res is None:
         partition_res = max(0, res - 3)
+    if before_close is not None:
+        out = before_close(df)
+        if out is None:
+            out = df
+        df = out
     out = df.withColumn("pcell", parent_col(cell, res, partition_res))
     (
         out.repartition("pcell")

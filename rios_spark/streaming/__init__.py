@@ -14,8 +14,13 @@ per cell.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
 
 from rios_spark.grid import cell_col
 
@@ -44,5 +49,55 @@ def stream_tile_counts(
             F.col("win.end").alias("win_end"),
             "cell",
             "n_pages",
+        )
+    )
+
+
+def stream_dedup_exact(
+    pages_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    exact content dedup ACROSS micro-batches. The first row per content
+    hash is emitted; later arrivals (same batch or any later batch) are
+    dropped. State = one boolean per content hash, partitioned by the
+    hash key — bounded by distinct-content cardinality; use a real TTL
+    via GroupStateTimeout in deployments where content can expire.
+
+    This is the streaming face of dedup.exact_dedup, and the engine's
+    analogue of RIOS block-completion bookkeeping
+    (rios/structures.py:700-722) — per-key state advanced by arrivals.
+    """
+    hashed = pages_stream.withColumn("__h", F.md5(F.col(text_col)))
+    out_schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType()),
+            T.StructField(id_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = state.exists
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf) and not seen:
+                first_id = int(pdf[id_col].min())
+                seen = True
+        if not state.exists and first_id is not None:
+            state.update((True,))
+            yield pd.DataFrame({"content_hash": [key[0]], id_col: [first_id]})
+
+    return (
+        hashed.groupBy("__h")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -174,3 +174,37 @@ def test_streaming_matches_batch(spark, tmp_path):
     w = want.set_index(["win_start", "cell"])["n_pages"].sort_index()
     assert g.equals(w)
     assert g.sum() == 5000
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Stateful streaming dedup: duplicates planted in a LATER file
+    (separate micro-batch via maxFilesPerTrigger=1) are dropped by the
+    cross-batch state."""
+    from rios_spark.streaming import stream_dedup_exact
+
+    base = datagen.gen_pages(300)[["page_id", "text"]]
+    dup = base.head(50).copy()
+    dup["page_id"] = dup["page_id"] + 10_000  # same text, later ids
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(base).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(dup).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup_exact(stream, "text", "page_id")
+        .writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dd_test").toPandas()
+    n_unique = base["text"].nunique()
+    assert len(got) == n_unique  # every distinct text exactly once
+    # none of the late duplicate ids survived
+    assert (got["page_id"] < 10_000).all()
