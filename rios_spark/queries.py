@@ -319,6 +319,30 @@ def _o_knn() -> str:
 O_KNN_CUST_SUPP = _o_knn()
 
 
+def q_knn_tiled_cust_supp(spark, sf_dir):
+    """The DISTRIBUTED kNN (J8: k-ring candidates + completeness-guard
+    fallback) on the same inputs as knn_cust_supp — and checked against
+    the SAME SQL oracle, proving the tiled variant exact end-to-end."""
+    cust = _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES).select(
+        "c_custkey", "lat", "lon", "cell"
+    )
+    lat, lon = geocode_cols((F.col("s_suppkey") * 13 + 7))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .select(F.col("s_suppkey").alias("id"), "lat", "lon")
+        .withColumn("cell", cell_col("lat", "lon", CUST_RES))
+    )
+    out = spatial.knn_tiled(cust, supp, 3, CUST_RES, ring=1, d_id="id")
+    return out.select(
+        "c_custkey",
+        F.col("neighbor_id").alias("s_suppkey"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.floor(F.col("dist_km") * F.lit(100000.0)) / F.lit(100000.0)).alias("dist_km"),
+    )
+
+
 def q_pyramid_docs(spark, sf_dir):
     """Pyramid rollup (A8): doc tile counts re-keyed to res-4 parents."""
     docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", DOC_RES)
@@ -886,6 +910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_rect_docs": q_zonal_rect_docs,
     "zonal_pentagon_docs": q_zonal_pentagon_docs,
     "knn_cust_supp": q_knn_cust_supp,
+    "knn_tiled_cust_supp": q_knn_tiled_cust_supp,
     "pyramid_docs": q_pyramid_docs,
     "adaptive_split_docs": q_adaptive_split_docs,
     "stats_lineitem": q_stats_lineitem,
@@ -922,6 +947,7 @@ ORACLES: dict[str, str] = {
     "zonal_rect_docs": O_ZONAL_RECT_DOCS,
     "zonal_pentagon_docs": O_ZONAL_PENTAGON_DOCS,
     "knn_cust_supp": O_KNN_CUST_SUPP,
+    "knn_tiled_cust_supp": O_KNN_CUST_SUPP,  # same oracle: tiled == exact
     "pyramid_docs": O_PYRAMID_DOCS,
     "stats_lineitem": O_STATS_LINEITEM,
     "stats_per_tile_orders": O_STATS_PER_TILE_ORDERS,

@@ -458,6 +458,36 @@ def knn_tiled(
     return good_rows.unionByName(fixed)
 
 
+def resample_bilinear(
+    queries: DataFrame,
+    data: pd.DataFrame,
+    value_col: str,
+    q_lat: str = "lat",
+    q_lon: str = "lon",
+    d_id: str = "id",
+    power: float = 1.0,
+) -> DataFrame:
+    """Bilinear/IDW resample join — the non-NEAREST setResampleMethod
+    modes (rios/applier.py:655-661): each query's value is the
+    inverse-distance-weighted average of its 4 nearest data points
+    (k=4 ≡ the bilinear 2x2 neighbourhood; cubic would take k=16).
+    Exact-match points (distance 0) take that point's value directly.
+    Output: all query columns + `resampled`."""
+    k4 = knn_bruteforce(queries, data, 4, q_lat=q_lat, q_lon=q_lon, d_id=d_id)
+    vals = queries.sparkSession.createDataFrame(
+        data[[d_id, value_col]].rename(columns={d_id: "neighbor_id", value_col: "__v"})
+    )
+    j = k4.join(F.broadcast(vals), "neighbor_id")
+    w = F.when(F.col("dist_km") == 0, F.lit(1e18)).otherwise(
+        F.lit(1.0) / F.pow(F.col("dist_km"), F.lit(power))
+    )
+    qcols = [c for c in queries.columns]
+    return (
+        j.groupBy(*qcols)
+        .agg((F.sum(w * F.col("__v")) / F.sum(w)).alias("resampled"))
+    )
+
+
 def _haversine_col(lat1, lon1, lat2, lon2):
     """Haversine as built-in Spark expressions (JVM-side, codegen)."""
     rl1, rl2 = F.radians(lat1), F.radians(lat2)

@@ -206,3 +206,32 @@ def test_nn_resample_equals_array_shift(spark):
     )
     want2 = np.where(rows.ravel() + 1 < n, (rows.ravel() + 1) * n + cols.ravel(), got2["neighbor_id"])
     assert (got2["neighbor_id"].to_numpy() == want2).all()
+
+
+def test_resample_bilinear(spark):
+    """Bilinear/IDW resample: exact-hit returns the point's value;
+    otherwise the IDW of the 4 nearest — checked vs a numpy oracle."""
+    rng = np.random.default_rng(17)
+    ddf = pd.DataFrame(
+        {"id": np.arange(100), "lat": rng.uniform(-10, 10, 100),
+         "lon": rng.uniform(-10, 10, 100), "v": rng.normal(0, 5, 100)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(30), "lat": rng.uniform(-9, 9, 30), "lon": rng.uniform(-9, 9, 30)}
+    )
+    # make query 0 an exact hit on data point 7
+    qdf.loc[0, ["lat", "lon"]] = ddf.loc[7, ["lat", "lon"]].to_numpy()
+    out = (
+        spatial.resample_bilinear(spark.createDataFrame(qdf), ddf, "v", d_id="id")
+        .toPandas().set_index("qid").sort_index()
+    )
+    assert len(out) == 30
+    assert out.loc[0, "resampled"] == pytest.approx(ddf.loc[7, "v"], rel=1e-9)
+    # numpy oracle for a few queries
+    for qid in (1, 5, 12):
+        q = qdf[qdf.qid == qid].iloc[0]
+        d = spatial.haversine_km(q.lat, q.lon, ddf["lat"].to_numpy(), ddf["lon"].to_numpy())
+        order = np.lexsort((ddf["id"].to_numpy(), d))[:4]
+        w = 1.0 / d[order]
+        want = (w * ddf["v"].to_numpy()[order]).sum() / w.sum()
+        assert out.loc[qid, "resampled"] == pytest.approx(want, rel=1e-9)
