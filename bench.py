@@ -42,6 +42,8 @@ HEADLINE = [
     "zonal_rect_docs",
     "zonal_pentagon_docs",
     "knn_cust_supp",
+    "knn_tiled_cust_supp",
+    "asof_login_events",
     "pyramid_docs",
     "adaptive_split_docs",
     "stats_per_tile_orders",

@@ -877,6 +877,34 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_asof_login_events(spark, sf_dir):
+    """As-of join (temporal.asof_join): each event enriched with the
+    user's most recent 'login' event at or before it. Oracle: DuckDB's
+    native ASOF LEFT JOIN — independent implementation, same semantics."""
+    from rios_spark.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "login").select(
+        "user_id", "ts", F.col("event_id").alias("login_event")
+    )
+    out = asof_join(left, right, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("login_event_asof").alias("login_event"),
+        F.col("ts_asof").alias("login_ts"),
+    )
+
+
+O_ASOF_LOGIN_EVENTS = """
+SELECT l.event_id, l.user_id, r.event_id AS login_event, r.ts AS login_ts
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'login') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_media_image_features(spark, sf_dir):
     """Multimodal plumbing (rows-only): deterministic media fixture →
     decode → per-channel stats + perceptual hash."""
@@ -934,6 +962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_events_per_type": q_topk_events_per_type,
     "set_ops_keys": q_set_ops_keys,
     "distinct_lang_source": q_distinct_lang_source,
+    "asof_login_events": q_asof_login_events,
     "media_image_features": q_media_image_features,
     "rat_color_table": q_rat_color_table,
 }
@@ -968,6 +997,7 @@ ORACLES: dict[str, str] = {
     "topk_events_per_type": O_TOPK_EVENTS_PER_TYPE,
     "set_ops_keys": O_SET_OPS_KEYS,
     "distinct_lang_source": O_DISTINCT_LANG_SOURCE,
+    "asof_login_events": O_ASOF_LOGIN_EVENTS,
     # adaptive_split_docs, simhash_docs, extract_text_invariant,
     # media_image_features, rat_color_table: intentionally oracle-less
     # (rows-only check) — non-SQL-expressible or engine-internal fixtures

@@ -235,3 +235,30 @@ def test_resample_bilinear(spark):
         w = 1.0 / d[order]
         want = (w * ddf["v"].to_numpy()[order]).sum() / w.sum()
         assert out.loc[qid, "resampled"] == pytest.approx(want, rel=1e-9)
+
+
+def test_asof_join_matches_pandas(spark):
+    """As-of join == pandas merge_asof (inclusive <= semantics)."""
+    from rios_spark.temporal import asof_join
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 200), "ts": rng.integers(0, 1000, 200),
+        "lv": np.arange(200),
+    }).drop_duplicates(["k", "ts"])
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 60), "ts": rng.integers(0, 1000, 60),
+        "rv": np.arange(60) * 10,
+    }).drop_duplicates(["k", "ts"])
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right), "k", "ts")
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k",
+        direction="backward", allow_exact_matches=True,
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    g = got["rv_asof"].fillna(-1).to_numpy()
+    w = want["rv"].fillna(-1).to_numpy()
+    assert (g == w).all()
