@@ -374,6 +374,7 @@ def knn_tiled(
     d_lat: str = "lat",
     d_lon: str = "lon",
     d_id: str = "id",
+    q_id: str | None = None,
 ) -> DataFrame:
     """Exact distributed kNN for a LARGE data side (SURVEY.md J8).
 
@@ -396,6 +397,10 @@ def knn_tiled(
     from rios_spark.margin import OWNER, with_margin
 
     qcols = queries.columns
+    # partition the ranking window by a single unique query id when the
+    # caller has one — much cheaper than hashing/sorting every query
+    # column, and required anyway if query columns aren't unique
+    part_cols = [q_id] if q_id else qcols
     d_exp = with_margin(data, res, ring, cell="cell").select(
         F.col(OWNER).alias("cell"),
         F.col(d_id).alias("neighbor_id"),
@@ -406,7 +411,7 @@ def knn_tiled(
 
     dist = _haversine_col(F.col(q_lat), F.col(q_lon), F.col("__dlat"), F.col("__dlon"))
     cand = cand.withColumn("dist_km", dist)
-    w = Window.partitionBy(*[F.col(c) for c in qcols]).orderBy(
+    w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(
         F.col("dist_km").asc_nulls_last(), F.col("neighbor_id")
     )
     ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -431,15 +436,16 @@ def knn_tiled(
         (F.col(q_lon) - box_lon_w) * F.lit(110.57) * min_cos,
         (box_lon_e - F.col(q_lon)) * F.lit(110.57) * min_cos,
     )
-    agg = ranked.groupBy(*[F.col(c) for c in qcols]).agg(
+    agg = ranked.groupBy(*[F.col(c) for c in part_cols]).agg(
         F.count("dist_km").alias("__nfound"),
         F.max("dist_km").alias("__kth"),
         F.first(guard_km).alias("__guard"),
     )
-    ok = agg.filter((F.col("__nfound") >= k) & (F.col("__kth") < F.col("__guard"))).select(*qcols)
-    bad = agg.filter(~((F.col("__nfound") >= k) & (F.col("__kth") < F.col("__guard")))).select(*qcols)
+    proved = (F.col("__nfound") >= k) & (F.col("__kth") < F.col("__guard"))
+    ok = agg.filter(proved).select(*part_cols)
+    bad = agg.filter(~proved).select(*part_cols)
 
-    good_rows = ranked.join(F.broadcast(ok), qcols, "left_semi").select(
+    good_rows = ranked.join(F.broadcast(ok), part_cols, "left_semi").select(
         *qcols, "neighbor_id", "dist_km", "rank"
     )
 
@@ -450,7 +456,7 @@ def knn_tiled(
     data_pdf = data.select(
         F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
     ).toPandas()
-    bad_q = queries.join(F.broadcast(bad), qcols, "left_semi")
+    bad_q = queries.join(F.broadcast(bad), part_cols, "left_semi")
     fixed = knn_bruteforce(
         bad_q, data_pdf, k, q_lat=q_lat, q_lon=q_lon, d_lat="lat", d_lon="lon", d_id="id"
     ).select(*qcols, "neighbor_id", "dist_km", F.col("rank").cast("int").alias("rank"))
