@@ -2,12 +2,15 @@
 
 from rios_spark.grid import (  # noqa: F401
     cell_col,
+    cell_coord_cols,
     cell_sql,
     cell_x_col,
     cell_y_col,
     geocode_cols,
     geocode_sql,
+    inverse_mercator_cols,
     kring_cells_col,
+    mercator_cols,
     parent_col,
 )
 from rios_spark.spatial import _haversine_col as haversine_col  # noqa: F401

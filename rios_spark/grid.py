@@ -222,6 +222,35 @@ def cell_coord_cols(cell: Column | str, res: int) -> dict[str, Column]:
 # ---------------------------------------------------------------------------
 
 
+WEB_MERCATOR_R = 6378137.0
+
+
+def mercator_cols(lat: Column | str, lon: Column | str) -> tuple[Column, Column]:
+    """WGS84 → Web-Mercator (EPSG:3857) as pure expressions — the
+    engine's reprojection operator (closes SURVEY.md F3/F4: RIOS warps
+    via GDAL, rios/imagereader.py:326-332; here projection is a
+    closed-form codegen'd transform, exercised by the testreproj-style
+    roundtrip test). x = R·λ, y = R·ln(tan(π/4 + φ/2))."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    x = F.lit(WEB_MERCATOR_R) * F.radians(lon)
+    y = F.lit(WEB_MERCATOR_R) * F.log(
+        F.tan(F.lit(np.pi / 4.0) + F.radians(lat) / F.lit(2.0))
+    )
+    return x, y
+
+
+def inverse_mercator_cols(x: Column | str, y: Column | str) -> tuple[Column, Column]:
+    """EPSG:3857 → WGS84: φ = 2·atan(exp(y/R)) − π/2, λ = x/R (degrees)."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    lon = F.degrees(x / F.lit(WEB_MERCATOR_R))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(y / F.lit(WEB_MERCATOR_R))) - F.lit(np.pi / 2.0)
+    )
+    return lat, lon
+
+
 def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
     """ANSI SQL computing the cell id — identical text runs on Spark and
     DuckDB and produces identical BIGINTs (same IEEE ops, same order)."""

