@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "16000000"))
+N_VECS = int(os.environ.get("SPARK_GRAFT_VECS", "200000"))
 PAGES_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_pages_{N_PAGES}.parquet"
 )
@@ -122,6 +123,50 @@ def run_pages_worker(k: int) -> None:
     spark.stop()
 
 
+def bench_ann(spark) -> dict:
+    """Similarity-search phase: brute-force vs IVF cosine top-10 over a
+    clustered synthetic embedding table; reports throughput and
+    recall@10 of the IVF path against the exact baseline."""
+    from pyspark.sql import functions as F
+
+    from rios_spark import ann
+    from rios_spark.datagen import gen_embeddings_spark
+
+    path = os.path.join(os.path.dirname(PAGES_PATH), f"bench_vecs_{N_VECS}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_embeddings_spark(spark, N_VECS).repartition(CPUS).write.mode("overwrite").parquet(path)
+    vecs = spark.read.parquet(path)
+    n_q = 500
+    queries = (
+        vecs.filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+        .cache()
+    )
+    queries.count()
+    data_pdf = vecs.select("vec_id", "embedding").toPandas()
+
+    t0 = time.monotonic()
+    brute = ann.cosine_topk_bruteforce(queries, data_pdf, 10, q_id="qid").toPandas()
+    t_brute = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    ivf = ann.cosine_topk_ivf(
+        queries, vecs, 10, n_centroids=64, nprobe=24, q_id="qid"
+    ).toPandas()
+    t_ivf = time.monotonic() - t0
+
+    bsets = {q: set(g["neighbor_id"]) for q, g in brute.groupby("qid")}
+    isets = {q: set(g["neighbor_id"]) for q, g in ivf.groupby("qid")}
+    recall = sum(len(bsets[q] & isets.get(q, set())) for q in bsets) / (10 * len(bsets))
+    return {
+        "n_vectors": N_VECS,
+        "n_queries": n_q,
+        "brute_qps": round(n_q / t_brute, 1),
+        "ivf_qps": round(n_q / t_ivf, 1),
+        "ivf_recall_at_10": round(recall, 4),
+    }
+
+
 def ensure_pages(spark) -> None:
     if os.path.exists(os.path.join(PAGES_PATH, "_SUCCESS")):
         return
@@ -150,6 +195,7 @@ def main() -> None:
         t0 = time.monotonic()
         _force(fn(spark, SF_DIR))
         qtimes[name] = round(time.monotonic() - t0, 3)
+    ann_stats = bench_ann(spark)
     spark.stop()
 
     lo_k, hi_k = max(1, CPUS // 4), CPUS
@@ -189,6 +235,7 @@ def main() -> None:
         },
         "pages_n": N_PAGES,
         "scaling_cores": [lo_k, hi_k],
+        "ann": ann_stats,
         "scaling_efficiency": round(eff, 3),
         "control_alu_efficiency": round(ctl_eff, 3),
         "normalized_efficiency": round(eff / ctl_eff, 3) if ctl_eff > 0 else None,
@@ -245,6 +292,13 @@ thousands of executors.
 {q_rows}
 
 Total: {result['value']:.3f} s
+
+## Similarity search ({result['ann']['n_vectors']:,} vectors, 64-dim, top-10)
+
+| path | queries/sec | recall@10 |
+|---|---|---|
+| brute force (exact) | {result['ann']['brute_qps']:,} | 1.0 |
+| IVF (64 lists, nprobe 24) | {result['ann']['ivf_qps']:,} | {result['ann']['ivf_recall_at_10']} |
 
 ## Reference points (BASELINE.md)
 

@@ -138,7 +138,13 @@ def cosine_topk_ivf(
     reports recall@k against the brute-force baseline.
     """
     spark = queries.sparkSession
-    sample = data.select(d_emb).limit(sample_rows).toPandas()
+    # uniform sample for centroid training (limit() would train on the
+    # first partitions only — biased centroids, degraded recall)
+    n_total = data.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample = data.select(d_emb).sample(fraction=frac, seed=seed).limit(sample_rows).toPandas()
+    if len(sample) == 0:
+        sample = data.select(d_emb).limit(sample_rows).toPandas()
     smat = _normalize(np.stack(sample[d_emb].map(np.asarray).to_list()).astype(np.float64))
     centroids = _kmeans(smat, n_centroids, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
@@ -156,11 +162,14 @@ def cosine_topk_ivf(
 
     def assign_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cen = bc.value
+        # nprobe can't exceed the number of trained centroids (tiny
+        # data sets train fewer than n_centroids)
+        np_eff = min(nprobe, cen.shape[0])
         for pdf in it:
             mat = _normalize(np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
             sims = mat @ cen.T
-            probes = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
-            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            probes = np.argsort(-sims, axis=1)[:, :np_eff].astype(np.int32)
+            rep = pdf.loc[pdf.index.repeat(np_eff)].reset_index(drop=True)
             rep["list_id"] = probes.ravel()
             yield rep[[q_id, q_emb, "list_id"]]
 
@@ -168,12 +177,42 @@ def cosine_topk_ivf(
         assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
     )
 
-    cand = probed.join(
-        assigned.withColumnRenamed(d_emb, "__demb"), "list_id"
-    ).withColumn("cosine", cosine_sim_col(q_emb, "__demb"))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col(d_id))
+    # per-list scoring as a COGROUPED numpy GEMM: each inverted list
+    # meets its probing queries once, scores via one matrix multiply,
+    # and emits only each query's local top-k — orders of magnitude
+    # faster than per-pair array expressions, and the shuffle carries
+    # only (queries + list vectors), never the candidate cross product
+    def score_list(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(dpdf) == 0:
+            return pd.DataFrame({q_id: [], "neighbor_id": [], "cosine": []}).astype(
+                {q_id: np.int64, "neighbor_id": np.int64, "cosine": np.float64}
+            )
+        qm = _normalize(np.stack(qpdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
+        dm = _normalize(np.stack(dpdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+        sim = qm @ dm.T
+        dids = dpdf[d_id].to_numpy(np.int64)
+        kk = min(k, sim.shape[1])
+        idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(qpdf))[:, None]
+        return pd.DataFrame(
+            {
+                q_id: qpdf[q_id].to_numpy().repeat(kk),
+                "neighbor_id": dids[idx].ravel(),
+                "cosine": sim[rows, idx].ravel(),
+            }
+        )
+
+    partial = (
+        probed.groupBy("list_id")
+        .cogroup(assigned.groupBy("list_id"))
+        .applyInPandas(
+            lambda q, d: score_list(q, d),
+            f"{q_id} long, neighbor_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, F.col(d_id).alias("neighbor_id"), "cosine", "rank")
+        .select(q_id, "neighbor_id", "cosine", "rank")
     )

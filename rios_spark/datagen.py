@@ -180,6 +180,36 @@ def gen_pages_spark(spark, n: int, n_hosts: int | None = None, seed: int = SEED)
     )
 
 
+def gen_embeddings_spark(spark, n: int, dim: int = 64, n_clusters: int = 32, seed: int = SEED):
+    """Bulk embedding table (vec_id, embedding: array<float>, label) —
+    clustered unit vectors, generated distributed via mapInPandas
+    (deterministic per vec_id, independent of partitioning)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = np.random.default_rng(seed)
+    centroids = rng.normal(size=(n_clusters, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def kern(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            out_emb = []
+            labels = np.empty(len(ids), np.int32)
+            for i, vid in enumerate(ids):
+                r = np.random.default_rng(seed * 1_000_003 + int(vid))
+                lab = int(r.integers(0, n_clusters))
+                v = centroids[lab] + r.normal(0, 0.35, dim)
+                v /= np.linalg.norm(v)
+                labels[i] = lab
+                out_emb.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": out_emb, "label": labels})
+
+    return spark.range(n).mapInPandas(
+        kern, "vec_id long, embedding array<float>, label int"
+    )
+
+
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
 
 
