@@ -216,3 +216,33 @@ def test_tileinfo_fields(spark):
     clat, clon = grid.np_cell_center(np.asarray([cellid]))
     assert info.lat_min < clat[0] < info.lat_max
     assert info.lon_min < clon[0] < info.lon_max
+
+
+def test_avg_invariant_under_parallelism(spark):
+    """testavgthreads/testavgsubproc parity: concurrency / partitioning
+    must not change answers. The same avg kernel runs over 1-partition
+    and 16-partition inputs; results are identical row-for-row."""
+    df1 = spark.createDataFrame(datagen.gen_ramp(N, N, TILE, RES))
+    df2 = spark.createDataFrame(datagen.gen_ramp(N, N, TILE, RES, reverse=True))
+
+    def avg_kernel(info, tile):
+        tot = tile["img1__value"].to_numpy().astype(np.float32)
+        tot += tile["img2__value"].to_numpy()
+        return pd.DataFrame(
+            {"row": tile["row"], "col": tile["col"],
+             "avg": (tot / 2.0).astype(np.uint8).astype(np.int32)}
+        )
+
+    def run(a, b):
+        return (
+            applier.apply(
+                avg_kernel, {"img1": a, "img2": b},
+                out_schema="row int, col int, avg int",
+                align_keys=["row", "col"],
+            )
+            .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+        )
+
+    serial = run(df1.coalesce(1), df2.coalesce(1))
+    parallel = run(df1.repartition(16), df2.repartition(16))
+    assert serial.equals(parallel)
