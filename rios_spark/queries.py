@@ -358,6 +358,45 @@ FROM documents GROUP BY 1
 """
 
 
+def q_cells_for_extent(spark, sf_dir):
+    """testfilesforextent analogue (rios/riostests/testfilesforextent):
+    which occupied doc tiles intersect a query bbox — partition pruning
+    as a first-class query (cell x/y range predicates, pure integer
+    arithmetic in both engines)."""
+    lon0, lat0, lon1, lat1 = -60.0, -30.0, 60.0, 45.0
+    docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", DOC_RES)
+    occupied = docs.groupBy("cell").agg(F.count("*").alias("n_docs"))
+    n = float(1 << DOC_RES)
+    nmax = (1 << DOC_RES) - 1
+    x = F.col("cell").bitwiseAND(F.lit(Y_MUL - 1).cast("long"))
+    y = F.shiftright(F.col("cell") % F.lit(RES_MUL).cast("long"), 29)
+    x0 = max(0, min(int(np.floor((lon0 + 180.0) / 360.0 * n)), nmax))
+    x1 = max(0, min(int(np.floor((lon1 + 180.0) / 360.0 * n)), nmax))
+    y0 = max(0, min(int(np.floor((90.0 - lat1) / 180.0 * n)), nmax))
+    y1 = max(0, min(int(np.floor((90.0 - lat0) / 180.0 * n)), nmax))
+    return occupied.filter((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1))
+
+
+def _o_cells_for_extent() -> str:
+    lon0, lat0, lon1, lat1 = -60.0, -30.0, 60.0, 45.0
+    n = float(1 << DOC_RES)
+    nmax = (1 << DOC_RES) - 1
+    x0 = max(0, min(int(np.floor((lon0 + 180.0) / 360.0 * n)), nmax))
+    x1 = max(0, min(int(np.floor((lon1 + 180.0) / 360.0 * n)), nmax))
+    y0 = max(0, min(int(np.floor((90.0 - lat1) / 180.0 * n)), nmax))
+    y1 = max(0, min(int(np.floor((90.0 - lat0) / 180.0 * n)), nmax))
+    return f"""
+    WITH occ AS (SELECT {_geo_sql('doc_id', DOC_RES)} AS cell, count(*) AS n_docs
+                 FROM documents GROUP BY 1)
+    SELECT cell, n_docs FROM occ
+    WHERE (cell % {Y_MUL}) BETWEEN {x0} AND {x1}
+      AND ((cell % {RES_MUL}) // {Y_MUL}) BETWEEN {y0} AND {y1}
+    """
+
+
+O_CELLS_FOR_EXTENT = _o_cells_for_extent()
+
+
 def q_adaptive_split_docs(spark, sf_dir):
     """Adaptive resolution splitting (rows-only check: the recursive
     split decision is not expressible in one SQL statement)."""
@@ -942,6 +981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cust_supp": q_knn_cust_supp,
     "knn_tiled_cust_supp": q_knn_tiled_cust_supp,
     "pyramid_docs": q_pyramid_docs,
+    "cells_for_extent": q_cells_for_extent,
     "adaptive_split_docs": q_adaptive_split_docs,
     "stats_lineitem": q_stats_lineitem,
     "stats_per_tile_orders": q_stats_per_tile_orders,
@@ -980,6 +1020,7 @@ ORACLES: dict[str, str] = {
     "knn_cust_supp": O_KNN_CUST_SUPP,
     "knn_tiled_cust_supp": O_KNN_CUST_SUPP,  # same oracle: tiled == exact
     "pyramid_docs": O_PYRAMID_DOCS,
+    "cells_for_extent": O_CELLS_FOR_EXTENT,
     "stats_lineitem": O_STATS_LINEITEM,
     "stats_per_tile_orders": O_STATS_PER_TILE_ORDERS,
     "histogram_direct_qty": O_HISTOGRAM_DIRECT_QTY,
