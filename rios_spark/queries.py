@@ -175,7 +175,7 @@ WITH c AS (SELECT {_geo_sql('doc_id', DOC_RES)} AS cell, count(*) AS n FROM docu
      nb AS (SELECT t.cell, t.n AS n_own, s.n AS n_nb
             FROM xy t JOIN offs o ON true
             JOIN xy s ON s.y = t.y + o.dy AND s.x = ((t.x + o.dx + {_N6}) % {_N6}))
-SELECT cell, any_value(n_own) AS n_own, sum(n_nb) AS n_ring FROM nb GROUP BY cell
+SELECT cell, any_value(n_own) AS n_own, cast(sum(n_nb) AS bigint) AS n_ring FROM nb GROUP BY cell
 """
 
 
@@ -260,14 +260,14 @@ def q_zonal_pentagon_docs(spark, sf_dir):
     docs.createOrReplaceTempView("documents")
     lat, lon = geocode_sql("doc_id")
     return spark.sql(
-        f"""SELECT count(*) AS n, round(sum(n_chars), 4) AS chars_sum
+        f"""SELECT count(*) AS n, cast(sum(n_chars) AS bigint) AS chars_sum
             FROM documents WHERE {_convex_pip_sql(lat, lon)}"""
     )
 
 
 def _o_zonal_pentagon() -> str:
     lat, lon = geocode_sql("doc_id")
-    return f"""SELECT count(*) AS n, round(sum(n_chars), 4) AS chars_sum
+    return f"""SELECT count(*) AS n, cast(sum(n_chars) AS bigint) AS chars_sum
                FROM documents WHERE {_convex_pip_sql(lat, lon)}"""
 
 

@@ -44,6 +44,17 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return problems
     g, w = normalize(got), normalize(want)
     for c in g.columns:
+        gk, wk = g[c].dtype.kind, w[c].dtype.kind
+        # The driver's value hash is dtype-sensitive: int64 `5` vs float64
+        # `5.0` hash differently even though the values compare equal. Mirror
+        # that here so local green == driver green (round-1 lesson: coercing
+        # both sides to float64 masked exactly the two driver hash failures).
+        if gk != wk and {gk, wk} <= {"i", "u", "f", "b"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={g[c].dtype} oracle={w[c].dtype}"
+                " (driver hash is dtype-sensitive)"
+            )
+            continue
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
         if gv.dtype.kind == "f" or (hasattr(wv, "dtype") and wv.dtype.kind == "f"):
             gv = np.asarray(gv, np.float64)
