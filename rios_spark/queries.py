@@ -179,6 +179,55 @@ SELECT cell, any_value(n_own) AS n_own, cast(sum(n_nb) AS bigint) AS n_ring FROM
 """
 
 
+def q_median_across_sources(spark, sf_dir):
+    """Per-key median across N aligned inputs (SURVEY.md A15 — the
+    medianConcTest analogue, rios/riostests/medianConcTest.py:141-197):
+    three per-cell 'layers' (documents chars-sum, customer count, orders
+    count) align on the UNION footprint (J1/J3); per cell, the median of
+    the non-null layer values — nodata(NULL)-aware, even counts average
+    the two middles (numpy.median semantics). Values are integer sums
+    cast to double, so both engines agree bit-exactly regardless of
+    accumulation order."""
+    from rios_spark import stats
+
+    d = (
+        _geo(_t(spark, sf_dir, "documents"), "doc_id", CUST_RES)
+        .groupBy("cell")
+        .agg(F.sum("n_chars").cast("double").alias("v1"))
+    )
+    c = (
+        _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES)
+        .groupBy("cell")
+        .agg(F.count("*").cast("double").alias("v2"))
+    )
+    o = (
+        _geo(_t(spark, sf_dir, "orders"), "o_custkey", CUST_RES)
+        .groupBy("cell")
+        .agg(F.count("*").cast("double").alias("v3"))
+    )
+    j = d.join(c, "cell", "full_outer").join(o, "cell", "full_outer")
+    n_layers = sum(F.col(v).isNotNull().cast("long") for v in ("v1", "v2", "v3"))
+    return j.select(
+        "cell",
+        stats.median_across_cols(["v1", "v2", "v3"]).alias("med"),
+        n_layers.alias("n_layers"),
+    )
+
+
+O_MEDIAN_ACROSS_SOURCES = f"""
+WITH d AS (SELECT {_geo_sql('doc_id', CUST_RES)} AS cell, cast(sum(n_chars) AS double) AS v1 FROM documents GROUP BY 1),
+     c AS (SELECT {_geo_sql('c_custkey', CUST_RES)} AS cell, cast(count(*) AS double) AS v2 FROM customer GROUP BY 1),
+     o AS (SELECT {_geo_sql('o_custkey', CUST_RES)} AS cell, cast(count(*) AS double) AS v3 FROM orders GROUP BY 1),
+     j AS (SELECT coalesce(d.cell, c.cell, o.cell) AS cell, v1, v2, v3
+           FROM d FULL OUTER JOIN c ON d.cell = c.cell
+                  FULL OUTER JOIN o ON coalesce(d.cell, c.cell) = o.cell),
+     u AS (SELECT cell, v1 AS v FROM j WHERE v1 IS NOT NULL
+           UNION ALL SELECT cell, v2 FROM j WHERE v2 IS NOT NULL
+           UNION ALL SELECT cell, v3 FROM j WHERE v3 IS NOT NULL)
+SELECT cell, median(v) AS med, count(*) AS n_layers FROM u GROUP BY cell
+"""
+
+
 _RECTS = [
     (0, -150.0, -60.0, 150.0, 60.0),
     (1, -90.0, -40.0, 0.0, 20.0),
@@ -397,12 +446,39 @@ def _o_cells_for_extent() -> str:
 O_CELLS_FOR_EXTENT = _o_cells_for_extent()
 
 
+_ADSPLIT_MAX_ROWS = 16
+_ADSPLIT_LEVELS = 4
+
+
 def q_adaptive_split_docs(spark, sf_dir):
-    """Adaptive resolution splitting (rows-only check: the recursive
-    split decision is not expressible in one SQL statement)."""
+    """Adaptive resolution splitting. Oracle: the quadtree decision
+    unrolled in SQL — for fixed max_levels the split rule 'shallowest
+    ancestor whose subtree count <= max_rows, else finest' is a CASE
+    over per-resolution counts (cells nest, so a subtree count equals
+    the plain per-cell count at that resolution)."""
     docs = _geo(_t(spark, sf_dir, "documents"), "doc_id", CUST_RES)
-    split = adaptive_split(docs, CUST_RES, max_rows=16, max_levels=4)
+    split = adaptive_split(
+        docs, CUST_RES, max_rows=_ADSPLIT_MAX_ROWS, max_levels=_ADSPLIT_LEVELS
+    )
     return split.groupBy("cell").agg(F.count("*").alias("n_docs"))
+
+
+def _o_adaptive_split() -> str:
+    rs = list(range(CUST_RES, CUST_RES + _ADSPLIT_LEVELS + 1))
+    cells = ", ".join(f"{_geo_sql('doc_id', r)} AS c{r}" for r in rs)
+    ctes = [f"r AS (SELECT {cells} FROM documents)"] + [
+        f"n{r} AS (SELECT c{r}, count(*) AS n FROM r GROUP BY 1)" for r in rs[:-1]
+    ]
+    whens = " ".join(f"WHEN n{r}.n <= {_ADSPLIT_MAX_ROWS} THEN c{r}" for r in rs[:-1])
+    joins = " ".join(f"JOIN n{r} USING (c{r})" for r in rs[:-1])
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT CASE {whens} ELSE c{rs[-1]} END AS cell, count(*) AS n_docs "
+        f"FROM r {joins} GROUP BY 1"
+    )
+
+
+O_ADAPTIVE_SPLIT_DOCS = _o_adaptive_split()
 
 
 # --- A: statistics ------------------------------------------------------------
@@ -685,7 +761,8 @@ def q_doc_text_metrics(spark, sf_dir):
 
 O_DOC_TEXT_METRICS = f"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
        CASE WHEN length(text) > 0 THEN
          round(least(1.0, length(text)/500.0)
@@ -885,15 +962,16 @@ def q_set_ops_keys(spark, sf_dir):
     cardinalities between customers and suppliers."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
     s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k")).distinct()
-    return spark.createDataFrame(
-        [
-            (
-                c.intersect(s).count(),
-                c.exceptAll(s).count(),
-                c.union(s).distinct().count(),
-            )
-        ],
-        "n_intersect long, n_except long, n_union long",
+    # one distributed job, not three .count() actions + a driver
+    # createDataFrame: full-outer join the two distinct key sets once
+    # and derive all three cardinalities from presence flags
+    j = c.withColumn("__c", F.lit(1)).join(
+        s.withColumn("__s", F.lit(1)), "k", "full_outer"
+    )
+    return j.agg(
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__s").isNotNull(), 1)).alias("n_intersect"),
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__s").isNull(), 1)).alias("n_except"),
+        F.count(F.lit(1)).alias("n_union"),
     )
 
 
@@ -983,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pyramid_docs": q_pyramid_docs,
     "cells_for_extent": q_cells_for_extent,
     "adaptive_split_docs": q_adaptive_split_docs,
+    "median_across_sources": q_median_across_sources,
     "stats_lineitem": q_stats_lineitem,
     "stats_per_tile_orders": q_stats_per_tile_orders,
     "histogram_direct_qty": q_histogram_direct_qty,
@@ -1041,7 +1120,9 @@ ORACLES: dict[str, str] = {
     "set_ops_keys": O_SET_OPS_KEYS,
     "distinct_lang_source": O_DISTINCT_LANG_SOURCE,
     "asof_login_events": O_ASOF_LOGIN_EVENTS,
-    # adaptive_split_docs, simhash_docs, extract_text_invariant,
-    # media_image_features, rat_color_table: intentionally oracle-less
-    # (rows-only check) — non-SQL-expressible or engine-internal fixtures
+    "adaptive_split_docs": O_ADAPTIVE_SPLIT_DOCS,
+    "median_across_sources": O_MEDIAN_ACROSS_SOURCES,
+    # simhash_docs, extract_text_invariant, media_image_features,
+    # rat_color_table: intentionally oracle-less (rows-only check) —
+    # non-SQL-expressible or engine-internal fixtures
 }

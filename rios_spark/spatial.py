@@ -279,7 +279,12 @@ def zonal_stats(
     """
     joined = pip_join(points, polygons, res, lat=lat, lon=lon, cell=cell)
     v = F.col(value_col).cast("double")
-    s = F.pmod(F.xxhash64(F.col(cell)), F.lit(salt))
+    # Salt on the INPUT PARTITION, not a hash of the cell: the north-rule
+    # skew model is a hot tile, and hashing the cell sends every row of
+    # that one hot cell to the same (polygon, salt) reducer — no split at
+    # all. spark_partition_id() spreads a hot cell across however many
+    # input partitions it spans; output is unchanged (all ops algebraic).
+    s = F.pmod(F.spark_partition_id(), F.lit(salt))
     partial = joined.groupBy("polygon_id", s.alias("__salt")).agg(
         F.count(v).alias("c"),
         F.sum(v).alias("s"),
@@ -303,6 +308,50 @@ def zonal_stats(
 # ---------------------------------------------------------------------------
 
 
+# Max elements in any one distance matrix (queries x data). 8M float64
+# = 64 MB per temporary; haversine allocates ~6 temporaries of that
+# shape, so peak per task stays well under 1 GB even with 32 concurrent
+# tasks. Without this cap a 65k-row Arrow batch against a 2M-point data
+# side would materialize a ~1 TB matrix in one task (round-1 VERDICT #4).
+KNN_GEMM_BUDGET = 8_000_000
+
+
+def _block_topk(
+    qla: np.ndarray,
+    qlo: np.ndarray,
+    dla: np.ndarray,
+    dlo: np.ndarray,
+    did: np.ndarray,
+    k: int,
+    use_haversine: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of each query against the full data arrays, chunking
+    the query rows so rows x n_data never exceeds KNN_GEMM_BUDGET.
+    Returns (ids, dists) of shape (n_queries, kk), kk = min(k, n_data),
+    sorted per row with deterministic (distance, data id) tie-break."""
+    nq, nd = len(qla), len(did)
+    kk = min(k, nd)
+    out_ids = np.empty((nq, kk), np.int64)
+    out_dist = np.empty((nq, kk), np.float64)
+    step = max(1, KNN_GEMM_BUDGET // max(nd, 1))
+    for s in range(0, nq, step):
+        e = min(s + step, nq)
+        a, o = qla[s:e, None], qlo[s:e, None]
+        if use_haversine:
+            dist = haversine_km(a, o, dla[None, :], dlo[None, :])
+        else:
+            dist = np.sqrt((a - dla[None, :]) ** 2 + (o - dlo[None, :]) ** 2)
+        idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk] if kk < nd else (
+            np.broadcast_to(np.arange(nd), (e - s, nd)).copy()
+        )
+        rows = np.arange(e - s)[:, None]
+        dsel = dist[rows, idx]
+        ord2 = np.lexsort((did[idx], dsel), axis=1)
+        out_ids[s:e] = did[idx[rows, ord2]]
+        out_dist[s:e] = dsel[rows, ord2]
+    return out_ids, out_dist
+
+
 def knn_bruteforce(
     queries: DataFrame,
     data: pd.DataFrame,
@@ -316,7 +365,9 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact kNN with the data side broadcast (the small-dim case —
     analogous to RIOS broadcasting one rasterization per process).
-    Ties broken on (distance, data id) — deterministic.
+    Ties broken on (distance, data id) — deterministic. The per-task
+    distance matrix is chunked to KNN_GEMM_BUDGET elements, so memory
+    stays bounded regardless of Arrow batch size x data size.
 
     Output: all query columns + neighbor_id, dist_km, rank.
     """
@@ -337,30 +388,143 @@ def knn_bruteforce(
 
     def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dla, dlo, did = bc.value
+        kk = min(k, len(did))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qla = pdf[q_lat].to_numpy(np.float64)[:, None]
-            qlo = pdf[q_lon].to_numpy(np.float64)[:, None]
-            if use_haversine:
-                dist = haversine_km(qla, qlo, dla[None, :], dlo[None, :])
-            else:
-                dist = np.sqrt((qla - dla[None, :]) ** 2 + (qlo - dlo[None, :]) ** 2)
-            kk = min(k, dist.shape[1])
-            idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            rows = np.arange(len(pdf))[:, None]
-            dsel = dist[rows, idx]
-            # deterministic tie-break: (distance, data id)
-            ord2 = np.lexsort((did[idx], dsel), axis=1)
-            idx = idx[rows, ord2]
-            dsel = dsel[rows, ord2]
+            qla = pdf[q_lat].to_numpy(np.float64)
+            qlo = pdf[q_lon].to_numpy(np.float64)
+            ids, dsel = _block_topk(qla, qlo, dla, dlo, did, k, use_haversine)
             rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
-            rep["neighbor_id"] = did[idx].ravel()
+            rep["neighbor_id"] = ids.ravel()
             rep["dist_km"] = dsel.ravel()
             rep["rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf))
             yield rep
 
     return queries.mapInPandas(kern, schema=out_schema)
+
+
+def _ring_guard_km(res: int, ring: int, q_lat: str, q_lon: str):
+    """Guaranteed-coverage radius (km) of the `ring`-ring tile box around
+    each query's cell: the distance from the query point to the nearest
+    edge of the box, conservatively converted to km. Any data point
+    closer than this is guaranteed to be in the candidate set."""
+    n = float(1 << res)
+    cell_h_deg = 180.0 / n
+    rem = F.col("cell") - F.lit(res * (1 << 58)).cast("long")
+    y = F.shiftright(rem, 29)
+    x = rem.bitwiseAND(F.lit((1 << 29) - 1).cast("long"))
+    box_lat_n = F.lit(90.0) - (y - ring) * F.lit(cell_h_deg)
+    box_lat_s = F.lit(90.0) - (y + 1 + ring) * F.lit(cell_h_deg)
+    box_lon_w = (x - ring) * F.lit(360.0 / n) - F.lit(180.0)
+    box_lon_e = (x + 1 + ring) * F.lit(360.0 / n) - F.lit(180.0)
+    # conservative km-per-degree: lat 111.32; lon scaled by min cos in box
+    min_cos = F.least(
+        F.abs(F.cos(F.radians(box_lat_n))), F.abs(F.cos(F.radians(box_lat_s)))
+    )
+    return F.least(
+        (F.col(q_lat) - box_lat_s) * F.lit(110.57),
+        (box_lat_n - F.col(q_lat)) * F.lit(110.57),
+        (F.col(q_lon) - box_lon_w) * F.lit(110.57) * min_cos,
+        (box_lon_e - F.col(q_lon)) * F.lit(110.57) * min_cos,
+    )
+
+
+def _rank_and_prove(
+    cand: DataFrame, part_cols: list[str], k: int, res: int, ring: int,
+    q_lat: str, q_lon: str,
+) -> DataFrame:
+    """Window top-k + the completeness guard, all inside ONE window
+    partitioning (one shuffle): a query's top-k is proven exact iff it
+    found k candidates and its k-th distance is within the ring's
+    guaranteed coverage radius. Adds rank + __proved. No per-query agg
+    DataFrame, no broadcast of the proven set (which is almost ALL
+    queries — broadcasting it was a round-1 scale bug)."""
+    dist = _haversine_col(F.col(q_lat), F.col(q_lon), F.col("__dlat"), F.col("__dlon"))
+    cand = cand.withColumn("dist_km", dist)
+    keys = [F.col(c) for c in part_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("dist_km").asc_nulls_last(), F.col("neighbor_id")
+    )
+    wp = Window.partitionBy(*keys)
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    guard = _ring_guard_km(res, ring, q_lat, q_lon)
+    return ranked.withColumn(
+        "__proved",
+        (F.count("dist_km").over(wp) >= k) & (F.max("dist_km").over(wp) < guard),
+    )
+
+
+def _knn_residual_scan(
+    bad_q: DataFrame,
+    data: DataFrame,
+    k: int,
+    part_cols: list[str],
+    q_lat: str,
+    q_lon: str,
+    d_lat: str,
+    d_lon: str,
+    d_id: str,
+) -> DataFrame:
+    """Exact distributed brute force for a SMALL query set against an
+    arbitrarily large data side: the residue queries are collected and
+    broadcast (bounded — they are the guard's leftovers), the data is
+    scanned ONCE with a per-partition running top-k, and the tiny
+    per-partition partials (n_queries x k x n_partitions rows) merge in
+    a final window. Replaces the round-1 `data.toPandas()` full collect
+    of the by-construction-too-big-to-broadcast side (VERDICT #5)."""
+    spark = bad_q.sparkSession
+    key_cols = list(dict.fromkeys([*part_cols, q_lat, q_lon]))
+    qpdf = bad_q.select(*key_cols).toPandas().reset_index(drop=True)
+    nq = len(qpdf)
+    qla = qpdf[q_lat].to_numpy(np.float64)
+    qlo = qpdf[q_lon].to_numpy(np.float64)
+    bc = spark.sparkContext.broadcast((qla, qlo))
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qla_v, qlo_v = bc.value
+        nq_v = len(qla_v)
+        best_d = np.full((nq_v, k), np.inf, np.float64)
+        best_i = np.full((nq_v, k), np.iinfo(np.int64).max, np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, dists = _block_topk(
+                qla_v, qlo_v,
+                pdf[d_lat].to_numpy(np.float64),
+                pdf[d_lon].to_numpy(np.float64),
+                pdf[d_id].to_numpy(np.int64),
+                k,
+            )
+            cat_d = np.concatenate([best_d, dists], axis=1)
+            cat_i = np.concatenate([best_i, ids], axis=1)
+            order = np.lexsort((cat_i, cat_d), axis=1)[:, :k]
+            rows = np.arange(nq_v)[:, None]
+            best_d = cat_d[rows, order]
+            best_i = cat_i[rows, order]
+        got = np.isfinite(best_d)
+        qi = np.broadcast_to(np.arange(nq_v)[:, None], best_d.shape)[got]
+        yield pd.DataFrame(
+            {"__qi": qi, "neighbor_id": best_i[got], "dist_km": best_d[got]}
+        )
+
+    partials = data.select(d_id, d_lat, d_lon).mapInPandas(
+        kern, "__qi long, neighbor_id long, dist_km double"
+    )
+    w = Window.partitionBy("__qi").orderBy(F.col("dist_km"), F.col("neighbor_id"))
+    top = partials.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    key_schema = T.StructType(
+        [bad_q.schema[c] for c in part_cols] + [T.StructField("__qi", T.LongType())]
+    )
+    key_df = spark.createDataFrame(
+        qpdf[part_cols].assign(__qi=np.arange(nq, dtype=np.int64)), schema=key_schema
+    )
+    return (
+        bad_q.join(F.broadcast(key_df), part_cols)
+        .join(F.broadcast(top), "__qi")
+        .drop("__qi")
+    )
 
 
 def knn_tiled(
@@ -375,6 +539,7 @@ def knn_tiled(
     d_lon: str = "lon",
     d_id: str = "id",
     q_id: str | None = None,
+    max_escalations: int = 2,
 ) -> DataFrame:
     """Exact distributed kNN for a LARGE data side (SURVEY.md J8).
 
@@ -385,22 +550,28 @@ def knn_tiled(
 
     Phase 2 — completeness guard (makes it EXACT, not approximate): a
     query's top-k is provably correct iff it found k candidates AND its
-    k-th distance is within the guaranteed coverage radius of the ring
-    (distance from the query point to the nearest edge of the ring's
-    tile box). Queries failing the guard re-run against the full data
-    via broadcast brute force; at sane resolutions that is a tiny
-    residue (logged by the caller via .count() if desired).
+    k-th distance is within the guaranteed coverage radius of the ring.
+    The guard is evaluated as window aggregates inside the SAME shuffle
+    as the ranking — no extra agg job, no broadcast of the proven set.
+
+    Phase 3 — escalation: unproven queries re-run at a doubled ring,
+    exploding the QUERY side this time (the residue is the small side,
+    so the (2r+1)^2 duplication lands on it, not on the data). Up to
+    `max_escalations` rounds; anything still unproven finishes in a
+    single distributed data scan with the residue queries broadcast
+    (_knn_residual_scan). The data side is NEVER collected.
 
     Both query and data DataFrames must already carry a `cell` column
     at `res`.
     """
-    from rios_spark.margin import OWNER, with_margin
+    from rios_spark.margin import IS_MARGIN, OWNER, with_margin
 
     qcols = queries.columns
     # partition the ranking window by a single unique query id when the
     # caller has one — much cheaper than hashing/sorting every query
     # column, and required anyway if query columns aren't unique
     part_cols = [q_id] if q_id else qcols
+    out_cols = [*qcols, "neighbor_id", "dist_km", "rank"]
     d_exp = with_margin(data, res, ring, cell="cell").select(
         F.col(OWNER).alias("cell"),
         F.col(d_id).alias("neighbor_id"),
@@ -408,60 +579,49 @@ def knn_tiled(
         F.col(d_lon).alias("__dlon"),
     )
     cand = queries.join(d_exp, "cell", "left")
+    ranked = _rank_and_prove(cand, part_cols, k, res, ring, q_lat, q_lon)
+    outs = [ranked.filter(F.col("__proved")).select(*out_cols)]
+    bad_keys = ranked.filter(~F.col("__proved")).select(*part_cols).distinct()
 
-    dist = _haversine_col(F.col(q_lat), F.col(q_lon), F.col("__dlat"), F.col("__dlon"))
-    cand = cand.withColumn("dist_km", dist)
-    w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(
-        F.col("dist_km").asc_nulls_last(), F.col("neighbor_id")
-    )
-    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    r = ring
+    for _ in range(max_escalations):
+        if bad_keys.limit(1).count() == 0:
+            return _union_all(outs)
+        r = 2 * r + 1
+        if 2 * r + 1 >= (1 << res):
+            break  # ring would wrap the grid: finish with the full scan
+        bad_q = queries.join(F.broadcast(bad_keys), part_cols, "left_semi")
+        probe = (
+            with_margin(bad_q, res, r, cell="cell")
+            .drop(IS_MARGIN)
+            .withColumnRenamed(OWNER, "__probe")
+        )
+        d_plain = data.select(
+            F.col("cell").alias("__probe"),
+            F.col(d_id).alias("neighbor_id"),
+            F.col(d_lat).alias("__dlat"),
+            F.col(d_lon).alias("__dlon"),
+        )
+        cand_r = probe.join(d_plain, "__probe", "left").drop("__probe")
+        ranked_r = _rank_and_prove(cand_r, part_cols, k, res, r, q_lat, q_lon)
+        outs.append(ranked_r.filter(F.col("__proved")).select(*out_cols))
+        bad_keys = ranked_r.filter(~F.col("__proved")).select(*part_cols).distinct()
 
-    # guard: coverage radius of the ring box around the query's cell
-    n = float(1 << res)
-    cell_h_deg = 180.0 / n
-    rem = F.col("cell") - F.lit(res * (1 << 58)).cast("long")
-    y = F.shiftright(rem, 29)
-    x = rem.bitwiseAND(F.lit((1 << 29) - 1).cast("long"))
-    box_lat_n = F.lit(90.0) - (y - ring) * F.lit(cell_h_deg)
-    box_lat_s = F.lit(90.0) - (y + 1 + ring) * F.lit(cell_h_deg)
-    box_lon_w = (x - ring) * F.lit(360.0 / n) - F.lit(180.0)
-    box_lon_e = (x + 1 + ring) * F.lit(360.0 / n) - F.lit(180.0)
-    # conservative km-per-degree: lat 111.32; lon scaled by min cos in box
-    min_cos = F.least(
-        F.abs(F.cos(F.radians(box_lat_n))), F.abs(F.cos(F.radians(box_lat_s)))
-    )
-    guard_km = F.least(
-        (F.col(q_lat) - box_lat_s) * F.lit(110.57),
-        (box_lat_n - F.col(q_lat)) * F.lit(110.57),
-        (F.col(q_lon) - box_lon_w) * F.lit(110.57) * min_cos,
-        (box_lon_e - F.col(q_lon)) * F.lit(110.57) * min_cos,
-    )
-    agg = ranked.groupBy(*[F.col(c) for c in part_cols]).agg(
-        F.count("dist_km").alias("__nfound"),
-        F.max("dist_km").alias("__kth"),
-        F.first(guard_km).alias("__guard"),
-    )
-    proved = (F.col("__nfound") >= k) & (F.col("__kth") < F.col("__guard"))
-    ok = agg.filter(proved).select(*part_cols)
-    bad = agg.filter(~proved).select(*part_cols)
-
-    good_rows = ranked.join(F.broadcast(ok), part_cols, "left_semi").select(
-        *qcols, "neighbor_id", "dist_km", "rank"
-    )
-
-    # residue: exact brute force only for the (few) unprovable queries.
-    # One cheap action decides whether the collect is needed at all.
-    if bad.limit(1).count() == 0:
-        return good_rows
-    data_pdf = data.select(
-        F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
-    ).toPandas()
-    bad_q = queries.join(F.broadcast(bad), part_cols, "left_semi")
-    fixed = knn_bruteforce(
-        bad_q, data_pdf, k, q_lat=q_lat, q_lon=q_lon, d_lat="lat", d_lon="lon", d_id="id"
+    if bad_keys.limit(1).count() == 0:
+        return _union_all(outs)
+    bad_q = queries.join(F.broadcast(bad_keys), part_cols, "left_semi")
+    fixed = _knn_residual_scan(
+        bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id
     ).select(*qcols, "neighbor_id", "dist_km", F.col("rank").cast("int").alias("rank"))
+    outs.append(fixed)
+    return _union_all(outs)
 
-    return good_rows.unionByName(fixed)
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def knn_join(
@@ -493,6 +653,81 @@ def knn_join(
     return knn_tiled(queries, data, k, res, **kwargs)
 
 
+# resample neighbourhood sizes, mirroring the GDAL kernel supports the
+# reference exposes (rios/applier.py:655-661): near 1x1, bilinear 2x2,
+# cubic/cubicspline 4x4, lanczos 6x6
+RESAMPLE_K = {"near": 1, "bilinear": 4, "cubic": 16, "cubicspline": 16, "lanczos": 36}
+
+
+def resample_join(
+    queries: DataFrame,
+    data: pd.DataFrame,
+    value_col: str,
+    method: str = "bilinear",
+    q_lat: str = "lat",
+    q_lon: str = "lon",
+    d_id: str = "id",
+    power: float = 1.0,
+) -> DataFrame:
+    """Resample join — the setResampleMethod modes
+    (rios/applier.py:655-661: near, bilinear, cubic, cubicspline,
+    lanczos) re-expressed for scattered points: the grid-convolution
+    kernel becomes a distance-kernel-weighted average over the k nearest
+    data points (k = the kernel's support size: 1/4/16/16/36).
+
+      near         k=1  (the testresample contract: exact array shift)
+      bilinear     k=4  inverse-distance weights (1/d^power)
+      cubic        k=16 tricube kernel (1-(d/D)^3)^3  — the classic
+                   local-regression kernel; D = the query's 16th-NN
+                   distance, so the kernel support adapts to density
+      cubicspline  k=16 biweight kernel (1-(d/D)^2)^2 (smoother falloff)
+      lanczos      k=36 3-lobe windowed sinc on t = 3*d/D
+
+    An exact-distance-0 match always returns that point's value
+    (all kernels peak at 0). Output: all query columns + `resampled`.
+    One broadcast of the data side, one window, one groupBy per call.
+    """
+    if method not in RESAMPLE_K:
+        raise ValueError(f"unknown resample method {method!r}")
+    k = RESAMPLE_K[method]
+    kn = knn_bruteforce(queries, data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id)
+    vals = queries.sparkSession.createDataFrame(
+        data[[d_id, value_col]].rename(columns={d_id: "neighbor_id", value_col: "__v"})
+    )
+    j = kn.join(F.broadcast(vals), "neighbor_id")
+    qcols = [c for c in queries.columns]
+    d = F.col("dist_km")
+    if method == "near":
+        w = F.lit(1.0)
+    elif method == "bilinear":
+        w = F.lit(1.0) / F.pow(d, F.lit(power))
+    else:
+        # adaptive support: D = the query's k-th neighbour distance,
+        # padded so the farthest neighbour keeps a nonzero weight
+        wspec = Window.partitionBy(*qcols)
+        D = F.max(d).over(wspec) * F.lit(1.0 + 1e-9)
+        t = d / D
+        if method == "cubic":
+            w = F.pow(F.lit(1.0) - F.pow(t, F.lit(3.0)), F.lit(3.0))
+        elif method == "cubicspline":
+            w = F.pow(F.lit(1.0) - F.pow(t, F.lit(2.0)), F.lit(2.0))
+        else:  # lanczos, 3 lobes
+            x = t * F.lit(3.0)
+            pix = F.lit(float(np.pi)) * x
+            sinc = F.when(x == 0, F.lit(1.0)).otherwise(F.sin(pix) / pix)
+            sinc3 = F.when(x == 0, F.lit(1.0)).otherwise(
+                F.sin(pix / 3.0) / (pix / 3.0)
+            )
+            w = sinc * sinc3
+        j = j.withColumn("__w", w)
+        w = F.col("__w")
+    w = F.when(d == 0, F.lit(1e18)).otherwise(w)
+    return (
+        j.groupBy(*qcols)
+        .agg((F.sum(w * F.col("__v")) / F.sum(w)).alias("resampled"))
+    )
+
+
 def resample_bilinear(
     queries: DataFrame,
     data: pd.DataFrame,
@@ -502,24 +737,10 @@ def resample_bilinear(
     d_id: str = "id",
     power: float = 1.0,
 ) -> DataFrame:
-    """Bilinear/IDW resample join — the non-NEAREST setResampleMethod
-    modes (rios/applier.py:655-661): each query's value is the
-    inverse-distance-weighted average of its 4 nearest data points
-    (k=4 ≡ the bilinear 2x2 neighbourhood; cubic would take k=16).
-    Exact-match points (distance 0) take that point's value directly.
-    Output: all query columns + `resampled`."""
-    k4 = knn_bruteforce(queries, data, 4, q_lat=q_lat, q_lon=q_lon, d_id=d_id)
-    vals = queries.sparkSession.createDataFrame(
-        data[[d_id, value_col]].rename(columns={d_id: "neighbor_id", value_col: "__v"})
-    )
-    j = k4.join(F.broadcast(vals), "neighbor_id")
-    w = F.when(F.col("dist_km") == 0, F.lit(1e18)).otherwise(
-        F.lit(1.0) / F.pow(F.col("dist_km"), F.lit(power))
-    )
-    qcols = [c for c in queries.columns]
-    return (
-        j.groupBy(*qcols)
-        .agg((F.sum(w * F.col("__v")) / F.sum(w)).alias("resampled"))
+    """Back-compat wrapper: resample_join(method='bilinear')."""
+    return resample_join(
+        queries, data, value_col, "bilinear",
+        q_lat=q_lat, q_lon=q_lon, d_id=d_id, power=power,
     )
 
 

@@ -175,6 +175,33 @@ def median_mode_from_hist(
     return float(medianval), float(modeval)
 
 
+def median_across_cols(cols: list, nodata=None):
+    """Per-row median across N aligned input columns — the per-pixel
+    median over a stack of co-registered inputs (SURVEY.md A15; the
+    medianConcTest analogue, rios/riostests/medianConcTest.py:141-197).
+
+    Nodata semantics match numbaMedian exactly: values equal to `nodata`
+    (or NULL) are excluded; all-excluded rows yield NULL (the relational
+    nodata); even counts average the two middle values (numpy.median).
+
+    Pure JVM expressions (array_sort over the non-null stack) — no
+    Python, no shuffle: this is a per-row map over the J1 aligned join.
+    """
+    arr = F.array(*[F.col(c).cast("double") if isinstance(c, str) else c.cast("double") for c in cols])
+    if nodata is not None:
+        keep = lambda v: v.isNotNull() & (v != F.lit(float(nodata)))  # noqa: E731
+    else:
+        keep = lambda v: v.isNotNull()  # noqa: E731
+    s = F.array_sort(F.filter(arr, keep))
+    n = F.size(s)
+    mid = (n / 2).cast("int")
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when(
+            n % 2 == 1, F.element_at(s, mid + 1)
+        ).otherwise((F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2.0)
+    )
+
+
 def pyramid_nearest(df: DataFrame, res: int, k: int, value_cols: list[str]) -> DataFrame:
     """NEAREST rollup k levels up (level L = 2^k): keep only the centre
     child of each parent (local offset o = L//2 in both axes — the
@@ -246,8 +273,65 @@ def weighted_stats(df: DataFrame, col: str, weight: str, group: list[str] | None
     )
 
 
+# --- persisted stats (S8): the ImageLayerStats/ImageFileStats analogue -------
+
+STATS_STORE_SCHEMA = (
+    "table string, column string, snapshot string, count long, "
+    "minval double, maxval double, mean double, stddev double, "
+    "sum double, ssq double"
+)
+_STATS_KEYS = ("count", "minval", "maxval", "mean", "stddev", "sum", "ssq")
+
+
+def persist_stats(
+    spark, store_path: str, table: str, column: str, snapshot: str, stats: dict
+) -> None:
+    """Append one stats row keyed by (table, column, snapshot) to the
+    stats store — the persisted side of S8: RIOS writes stats INTO the
+    artifact's metadata so later readers get them for free
+    (rios/fileinfo.py:200-293 ImageLayerStats reads them back). Here the
+    store is a parquet table partitioned by table name (at deployment
+    scale: an Iceberg table, so appends are snapshot commits)."""
+    row = [
+        (
+            table, column, snapshot,
+            int(stats.get("count") or 0),
+            *(None if stats.get(k) is None else float(stats[k])
+              for k in _STATS_KEYS[1:]),
+        )
+    ]
+    spark.createDataFrame(row, STATS_STORE_SCHEMA).write.mode("append").partitionBy(
+        "table"
+    ).parquet(store_path)
+
+
+def read_stats(
+    spark, store_path: str, table: str | None = None, column: str | None = None,
+    latest: bool = False,
+) -> DataFrame:
+    """Read previously persisted stats back (S8 read side — the
+    ImageLayerStats analogue): no rescan of the data, just the store.
+    latest=True keeps only the newest snapshot per (table, column)
+    (snapshots are caller-provided sortable strings)."""
+    out = spark.read.schema(STATS_STORE_SCHEMA).parquet(store_path)
+    if table is not None:
+        out = out.filter(F.col("table") == table)  # partition-pruned scan
+    if column is not None:
+        out = out.filter(F.col("column") == column)
+    if latest:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("table", "column").orderBy(F.col("snapshot").desc())
+        out = out.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+    return out
+
+
 def write_with_stats(
-    df: DataFrame, path: str, col: str, partition_by: list[str] | None = None
+    df: DataFrame, path: str, col: str, partition_by: list[str] | None = None,
+    stats_store: str | None = None, table: str | None = None,
+    snapshot: str = "0",
 ) -> dict:
     """Single-pass fusion: write the data AND compute its basic stats in
     the SAME Spark action via df.observe() — the true analogue of
@@ -279,4 +363,8 @@ def write_with_stats(
         variance = got["ssq"] / n - mean**2
         got["mean"] = mean
         got["stddev"] = float(np.sqrt(variance)) if variance >= 0 else 0.0
+    if stats_store is not None:
+        persist_stats(
+            df.sparkSession, stats_store, table or path, col, snapshot, got
+        )
     return got

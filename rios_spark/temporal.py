@@ -40,17 +40,32 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, ts)]
 
+    # Carry ONE struct of (ts + all right payload columns) with a single
+    # last(ignorenulls): carrying each payload column independently would
+    # take a genuinely-NULL payload value from an OLDER right row (and
+    # different columns from different rows) — the struct guarantees all
+    # carried fields come from the same matched right row, including its
+    # NULLs, matching DuckDB ASOF JOIN row semantics.
+    rt = dict(right.dtypes)
+    r_struct = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    null_struct = F.lit(None).cast(
+        "struct<__rts:{},{}>".format(
+            rt[ts], ",".join(f"`{c}`:{rt[c]}" for c in right_cols)
+        )
+        if right_cols
+        else f"struct<__rts:{rt[ts]}>"
+    )
     l_tag = left.select(
         F.col(key), F.col(ts), F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (key, ts)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[ts]).alias(f"{ts}{suffix}"),
+        null_struct.alias("__r"),
     )
     r_tag = right.select(
         F.col(key), F.col(ts), F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c not in (key, ts)],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts).alias(f"{ts}{suffix}"),
+        r_struct.alias("__r"),
     )
     u = l_tag.unionByName(r_tag)
     w = (
@@ -58,7 +73,12 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts}{suffix}"]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in u.columns if c not in ("__side", "__r")],
+            *[F.col(f"__r.`{c}`").alias(f"{c}{suffix}") for c in right_cols],
+            F.col("__r.__rts").alias(f"{ts}{suffix}"),
+        )
+    )

@@ -275,3 +275,166 @@ def test_knn_join_auto_dispatch(spark):
     auto = spatial.knn_join(q, d, 3, 4, d_id="id").toPandas().sort_values(["qid", "rank"])
     tiled = spatial.knn_tiled(q, d, 3, 4, d_id="id", q_id="qid").toPandas().sort_values(["qid", "rank"])
     assert auto["neighbor_id"].tolist() == tiled["neighbor_id"].tolist()
+
+
+def test_block_topk_chunking_invariant(monkeypatch):
+    """The GEMM memory cap (KNN_GEMM_BUDGET) must not change results:
+    a tiny budget forces many query-row chunks; compare against the
+    unchunked full-sort answer."""
+    rng = np.random.default_rng(21)
+    nq, nd, k = 37, 211, 5
+    qla, qlo = rng.uniform(-60, 60, nq), rng.uniform(-170, 170, nq)
+    dla, dlo = rng.uniform(-60, 60, nd), rng.uniform(-170, 170, nd)
+    did = rng.permutation(nd).astype(np.int64)
+    monkeypatch.setattr(spatial, "KNN_GEMM_BUDGET", 100)  # ~0.5 rows/chunk worth
+    ids, dist = spatial._block_topk(qla, qlo, dla, dlo, did, k)
+    full = spatial.haversine_km(qla[:, None], qlo[:, None], dla[None, :], dlo[None, :])
+    for i in range(nq):
+        order = np.lexsort((did, full[i]))[:k]
+        assert ids[i].tolist() == did[order].tolist()
+        np.testing.assert_allclose(dist[i], full[i][order], rtol=1e-12)
+
+
+def test_knn_tiled_residual_scan_no_driver_collect(spark):
+    """Force the full residue path: data so sparse that no ring (or
+    escalated ring) can prove completeness for most queries — the
+    distributed residual scan must still return the EXACT answer.
+    Replaces the round-1 data.toPandas() full collect (VERDICT #5)."""
+    res = 6
+    rng = np.random.default_rng(31)
+    # 6 data points on a planet: every k=3 guard fails at ring 1
+    ddf = pd.DataFrame(
+        {"id": np.arange(6), "lat": rng.uniform(-70, 70, 6), "lon": rng.uniform(-170, 170, 6)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(25), "lat": rng.uniform(-70, 70, 25), "lon": rng.uniform(-170, 170, 25)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, ring=1, d_id="id", q_id="qid")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    want = _brute_oracle(qdf, ddf, 3)
+    assert len(got) == 25 * 3
+    for qid, grp in got.groupby("qid"):
+        pairs = list(zip(grp["neighbor_id"], grp["dist_km"]))
+        for (gi, gd), (wi, wd) in zip(pairs, want[int(qid)]):
+            assert gi == wi
+            assert gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_zonal_salt_uses_partition_id(spark):
+    """Skew contract: the zonal stage-1 salt must split a HOT CELL, so
+    it cannot be a function of the cell value (round-1 bug: xxhash64 of
+    the cell gave every row of a hot tile the same salt). The physical
+    plan must salt on SPARK_PARTITION_ID, and results stay exact."""
+    rng = np.random.default_rng(41)
+    n = 4000
+    # every point in one hot cell (one dense web host tile)
+    pdf = pd.DataFrame(
+        {
+            "page_id": np.arange(n),
+            "lat": 10.0 + rng.uniform(0, 0.01, n),
+            "lon": 20.0 + rng.uniform(0, 0.01, n),
+            "v": rng.integers(0, 100, n).astype(float),
+        }
+    )
+    pts = (
+        spark.createDataFrame(pdf)
+        .repartition(8)
+        .withColumn("cell", cell_col("lat", "lon", 5))
+    )
+    polys = pd.DataFrame(
+        [{"polygon_id": 0, "xs": [0.0, 40.0, 40.0, 0.0], "ys": [0.0, 0.0, 40.0, 40.0]}]
+    )
+    out = spatial.zonal_stats(pts, polys, 5, "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan
+    row = out.toPandas().iloc[0]
+    assert row["count"] == n
+    assert row["sum"] == pytest.approx(pdf["v"].sum())
+    assert row["mean"] == pytest.approx(pdf["v"].mean())
+
+
+def test_asof_join_null_payload_from_matched_row(spark):
+    """A genuinely-NULL payload column in the matched right row must come
+    through as NULL — not be back-filled from an OLDER right row (the
+    round-1 per-column last(ignorenulls) bug). All carried columns must
+    come from the SAME matched right row."""
+    from rios_spark.temporal import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 1], "ts": [5, 15, 25], "lv": [0, 1, 2]})
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": [0, 10, 20],
+            "a": [100.0, None, 300.0],
+            "b": [None, 200.0, None],
+        }
+    )
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right), "k", "ts")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert got["ts_asof"].tolist() == [0, 10, 20]
+    # row ts=15 matched right ts=10: a must be NULL (not 100.0 from ts=0)
+    assert pd.isna(got.loc[1, "a_asof"]) and got.loc[1, "b_asof"] == 200.0
+    # row ts=25 matched right ts=20: b must be NULL (not 200.0 from ts=10)
+    assert got.loc[2, "a_asof"] == 300.0 and pd.isna(got.loc[2, "b_asof"])
+    assert got.loc[0, "a_asof"] == 100.0 and pd.isna(got.loc[0, "b_asof"])
+
+
+def test_resample_cubic_k16_matches_numpy_kernel(spark):
+    """Cubic (k=16 tricube) resample parity with a straight numpy
+    implementation of the same kernel; exact-match queries return the
+    point value for EVERY mode (all kernels peak at distance 0) —
+    the testresample half-shift contract generalized."""
+    rng = np.random.default_rng(17)
+    nd = 400
+    ddf = pd.DataFrame(
+        {
+            "id": np.arange(nd),
+            "lat": rng.uniform(-30, 30, nd),
+            "lon": rng.uniform(-60, 60, nd),
+            "val": rng.uniform(0, 100, nd),
+        }
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(25), "lat": rng.uniform(-25, 25, 25), "lon": rng.uniform(-55, 55, 25)}
+    )
+    got = (
+        spatial.resample_join(spark.createDataFrame(qdf), ddf, "val", "cubic", d_id="id")
+        .toPandas()
+        .sort_values("qid")["resampled"]
+        .to_numpy()
+    )
+    # numpy oracle: same tricube kernel over the same k=16 neighbours
+    d = spatial.haversine_km(
+        qdf["lat"].to_numpy()[:, None], qdf["lon"].to_numpy()[:, None],
+        ddf["lat"].to_numpy()[None, :], ddf["lon"].to_numpy()[None, :],
+    )
+    want = np.empty(len(qdf))
+    for i in range(len(qdf)):
+        order = np.lexsort((ddf["id"].to_numpy(), d[i]))[:16]
+        dd = d[i][order]
+        D = dd.max() * (1.0 + 1e-9)
+        w = (1.0 - (dd / D) ** 3) ** 3
+        want[i] = (w * ddf["val"].to_numpy()[order]).sum() / w.sum()
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # exact-match short-circuit for every mode
+    q_exact = spark.createDataFrame(
+        ddf.head(5)[["id", "lat", "lon"]].rename(columns={"id": "qid"})
+    )
+    for mode in spatial.RESAMPLE_K:
+        r = (
+            spatial.resample_join(q_exact, ddf, "val", mode, d_id="id")
+            .toPandas()
+            .sort_values("qid")["resampled"]
+            .to_numpy()
+        )
+        np.testing.assert_allclose(r, ddf["val"].to_numpy()[:5], rtol=1e-9, err_msg=mode)

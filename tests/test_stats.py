@@ -177,3 +177,58 @@ def test_write_with_stats_single_pass(spark, tmp_path):
     assert got["mean"] == pytest.approx(valid.mean(), rel=1e-9)
     back = spark.read.parquet(path)
     assert back.count() == len(pdf)
+
+
+def test_median_across_cols_matches_numba_median_semantics(spark):
+    """A15 parity with numbaMedian (rios/riostests/medianConcTest.py:
+    171-197): nodata excluded, all-nodata rows -> nodata (NULL), single
+    survivor -> itself, even counts -> average of the two middles."""
+    import pandas as pd
+    from rios_spark.stats import median_across_cols
+
+    rng = np.random.default_rng(5)
+    n = 500
+    stack = rng.integers(0, 50, size=(n, 5)).astype(float)  # 0 == nodata
+    pdf = pd.DataFrame(stack, columns=[f"v{i}" for i in range(5)])
+    pdf["key"] = np.arange(n)
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select("key", median_across_cols([f"v{i}" for i in range(5)], nodata=0).alias("med"))
+        .toPandas()
+        .sort_values("key")["med"]
+        .to_numpy()
+    )
+    want = np.empty(n)
+    for i in range(n):
+        vals = stack[i][stack[i] != 0]
+        want[i] = np.median(vals) if len(vals) else np.nan
+    np.testing.assert_allclose(got, want, rtol=0, atol=0, equal_nan=True)
+
+
+def test_persisted_stats_roundtrip(spark, tmp_path):
+    """S8 persisted side (ImageLayerStats analogue,
+    rios/fileinfo.py:200-293): stats written during the single-pass
+    write are re-readable from the store WITHOUT rescanning the data."""
+    import pandas as pd
+    from rios_spark.stats import read_stats, write_with_stats
+
+    pdf = pd.DataFrame({"k": np.arange(100) % 7, "v": np.arange(100, dtype=float)})
+    df = spark.createDataFrame(pdf)
+    store = str(tmp_path / "stats_store")
+    got = write_with_stats(
+        df, str(tmp_path / "out.parquet"), "v",
+        stats_store=store, table="t1", snapshot="0001",
+    )
+    # a later snapshot of the same (table, column)
+    write_with_stats(
+        df.filter("v < 50"), str(tmp_path / "out2.parquet"), "v",
+        stats_store=store, table="t1", snapshot="0002",
+    )
+    back = read_stats(spark, store, table="t1", column="v").toPandas()
+    assert len(back) == 2
+    r1 = back[back["snapshot"] == "0001"].iloc[0]
+    assert r1["count"] == 100 and r1["minval"] == 0.0 and r1["maxval"] == 99.0
+    assert r1["mean"] == got["mean"] and r1["stddev"] == got["stddev"]
+    latest = read_stats(spark, store, table="t1", column="v", latest=True).toPandas()
+    assert len(latest) == 1 and latest.iloc[0]["snapshot"] == "0002"
+    assert latest.iloc[0]["count"] == 50
