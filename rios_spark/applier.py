@@ -116,6 +116,59 @@ def _footprint_cells(
     raise ValueError(f"unknown footprint {footprint!r}")
 
 
+def table_bbox(df: DataFrame, lat: str = "lat", lon: str = "lon") -> tuple:
+    """(lon_min, lat_min, lon_max, lat_max) of one input — the
+    PixelGridDefn-extent analogue for footprint planning. One tiny
+    partial+final agg; no shuffle of data rows."""
+    r = df.agg(
+        F.min(lon).alias("x0"), F.min(lat).alias("y0"),
+        F.max(lon).alias("x1"), F.max(lat).alias("y1"),
+    ).first()
+    return (float(r["x0"]), float(r["y0"]), float(r["x1"]), float(r["y1"]))
+
+
+def _bbox_surrounds(a: tuple, b: tuple) -> bool:
+    """True if bbox a completely surrounds bbox b — the corner check of
+    rios/pixelgrid.py:328-345 (inclusive bounds)."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    return (
+        ax0 <= bx0 <= ax1 and ax0 <= bx1 <= ax1
+        and ay0 <= by0 <= ay1 and ay0 <= by1 <= ay1
+    )
+
+
+def remove_surrounding(bboxes: dict[str, tuple]) -> list[str]:
+    """Footprint planning (SURVEY.md J10): drop any input whose bbox
+    completely surrounds ALL the others — it can never constrain an
+    INTERSECTION, so intersecting its (large) cell set is wasted work.
+    Iterates until stable, always keeping at least one input — the
+    removeSurrounding analogue (rios/pixelgrid.py:447-491, oracle
+    rios/riostests/testfootprint.py:146-206).
+
+    NOTE the dense-footprint assumption carried over from rasters: an
+    input is treated as covering its whole bbox. For sparse tables use
+    this only when the surrounding input is known dense (e.g. a global
+    base layer); cell-set INTERSECTION without pruning is always exact.
+
+    bboxes: name -> (lon_min, lat_min, lon_max, lat_max). Returns the
+    names to KEEP, in input order.
+    """
+    names = list(bboxes)
+    keep = {n: True for n in names}
+    changed = True
+    while changed and sum(keep.values()) > 1:
+        changed = False
+        for i in names:
+            if not keep[i] or sum(keep.values()) <= 1:
+                continue
+            others = [j for j in names if j != i and keep[j]]
+            if all(_bbox_surrounds(bboxes[i], bboxes[j]) for j in others):
+                keep[i] = False
+                changed = True
+    return [n for n in names if keep[n]]
+
+
 def apply_input_nulls(
     df: DataFrame, nulls: dict[str, Any], keys: list[str]
 ) -> DataFrame:

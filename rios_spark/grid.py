@@ -251,6 +251,120 @@ def inverse_mercator_cols(x: Column | str, y: Column | str) -> tuple[Column, Col
     return lat, lon
 
 
+# --- transverse Mercator / UTM (general reprojection, F3/F4) -----------------
+# Krüger/Karney flattening series (public formulas, e.g. Karney 2011
+# "Transverse Mercator with an accuracy of a few nanometers"): enough
+# terms for sub-micrometre accuracy on WGS84. This closes the
+# mixed-CRS-ingest gap: a source keyed in any UTM zone (EPSG:326xx/
+# 327xx) reprojects to lat/lon with pure codegen'd expressions — no
+# GDAL warp (rios/imagereader.py:326-332) needed for the supported
+# closed-form CRS family (4326, 3857, UTM).
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_TM_K0 = 0.9996
+_TM_E0 = 500000.0
+_TM_N0_SOUTH = 10000000.0
+
+_n = _WGS84_F / (2.0 - _WGS84_F)
+_TM_A = _WGS84_A / (1.0 + _n) * (1.0 + _n**2 / 4.0 + _n**4 / 64.0 + _n**6 / 256.0)
+_ALPHA = (
+    _n / 2.0 - 2.0 * _n**2 / 3.0 + 5.0 * _n**3 / 16.0 + 41.0 * _n**4 / 180.0,
+    13.0 * _n**2 / 48.0 - 3.0 * _n**3 / 5.0 + 557.0 * _n**4 / 1440.0,
+    61.0 * _n**3 / 240.0 - 103.0 * _n**4 / 140.0,
+    49561.0 * _n**4 / 161280.0,
+)
+_BETA = (
+    _n / 2.0 - 2.0 * _n**2 / 3.0 + 37.0 * _n**3 / 96.0 - _n**4 / 360.0,
+    _n**2 / 48.0 + _n**3 / 15.0 - 437.0 * _n**4 / 1440.0,
+    17.0 * _n**3 / 480.0 - 37.0 * _n**4 / 840.0,
+    4397.0 * _n**4 / 161280.0,
+)
+_DELTA = (
+    2.0 * _n - 2.0 * _n**2 / 3.0 - 2.0 * _n**3 + 116.0 * _n**4 / 45.0,
+    7.0 * _n**2 / 3.0 - 8.0 * _n**3 / 5.0 - 227.0 * _n**4 / 45.0,
+    56.0 * _n**3 / 15.0 - 136.0 * _n**4 / 35.0,
+    4279.0 * _n**4 / 630.0,
+)
+_TM_ES = 2.0 * np.sqrt(_n) / (1.0 + _n)
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian (degrees) of a UTM zone 1-60."""
+    return float(zone * 6 - 183)
+
+
+def lonlat_to_tm_cols(
+    lat: Column | str, lon: Column | str, lon0_deg: float,
+    k0: float = _TM_K0, false_e: float = _TM_E0, false_n: float = 0.0,
+) -> tuple[Column, Column]:
+    """WGS84 lat/lon → transverse-Mercator easting/northing as pure
+    Spark expressions (Krüger series forward). For UTM:
+    lon0 = utm_zone_lon0(zone), false_n = 10000000 for the south
+    hemisphere (EPSG:327xx)."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    phi = F.radians(lat)
+    lam = F.radians(lon - F.lit(lon0_deg))
+    s = F.sin(phi)
+    t = F.sinh(
+        F.atanh(s) - F.lit(_TM_ES) * F.atanh(F.lit(_TM_ES) * s)
+    )
+    xi_p = F.atan2(t, F.cos(lam))
+    eta_p = F.asinh(F.sin(lam) / F.sqrt(t * t + F.cos(lam) * F.cos(lam)))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * xi_p) * F.cosh(F.lit(2.0 * j) * eta_p)
+        eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xi_p) * F.sinh(F.lit(2.0 * j) * eta_p)
+    e = F.lit(false_e) + F.lit(k0 * _TM_A) * eta
+    n_ = F.lit(false_n) + F.lit(k0 * _TM_A) * xi
+    return e, n_
+
+
+def tm_to_lonlat_cols(
+    easting: Column | str, northing: Column | str, lon0_deg: float,
+    k0: float = _TM_K0, false_e: float = _TM_E0, false_n: float = 0.0,
+) -> tuple[Column, Column]:
+    """Transverse-Mercator easting/northing → WGS84 (lat, lon) degrees —
+    the inverse Krüger series, pure Spark expressions. This is the
+    ingest direction: normalize any UTM-keyed source to lat/lon, then
+    cell-index as usual (grid-match J5 follows for free)."""
+    e = F.col(easting) if isinstance(easting, str) else easting
+    n_ = F.col(northing) if isinstance(northing, str) else northing
+    xi = (n_ - F.lit(false_n)) / F.lit(k0 * _TM_A)
+    eta = (e - F.lit(false_e)) / F.lit(k0 * _TM_A)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) * F.cosh(F.lit(2.0 * j) * eta)
+        eta_p = eta_p - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) * F.sinh(F.lit(2.0 * j) * eta)
+    chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = phi + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
+    lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
+    return F.degrees(phi), F.degrees(lam) + F.lit(lon0_deg)
+
+
+def utm_to_lonlat_cols(
+    easting: Column | str, northing: Column | str, zone: int, south: bool = False
+) -> tuple[Column, Column]:
+    """EPSG:326xx/327xx → WGS84 (lat, lon)."""
+    return tm_to_lonlat_cols(
+        easting, northing, utm_zone_lon0(zone),
+        false_n=_TM_N0_SOUTH if south else 0.0,
+    )
+
+
+def lonlat_to_utm_cols(
+    lat: Column | str, lon: Column | str, zone: int, south: bool = False
+) -> tuple[Column, Column]:
+    """WGS84 → EPSG:326xx/327xx (easting, northing)."""
+    return lonlat_to_tm_cols(
+        lat, lon, utm_zone_lon0(zone),
+        false_n=_TM_N0_SOUTH if south else 0.0,
+    )
+
+
 def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
     """ANSI SQL computing the cell id — identical text runs on Spark and
     DuckDB and produces identical BIGINTs (same IEEE ops, same order)."""

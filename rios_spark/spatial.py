@@ -187,42 +187,61 @@ def pip_join(
         method = "expr" if total_vertices <= PIP_EXPR_MAX_VERTICES else "arrow"
 
     if method == "expr":
-        # JIT-friendliness is the whole game here: ONE giant OR-of-ANDs
-        # filter condition codegens into a single method that crosses
-        # HotSpot's huge-method limit and runs as interpreted bytecode
-        # (measured: 8 branches 0.8s, 14 branches 40s on 7.4M rows).
-        # So polygons are packed into groups with a bounded predicate
-        # cost, each group filters its own (cover-pruned) candidate
-        # slice with a small JIT-able condition, and the slices union.
+        # ONE pass of the big side, keyed by polygon id (round-1 folded
+        # per-group scans into this). The predicate is generic across
+        # polygons, so it stays one SMALL method regardless of polygon
+        # count — no HotSpot huge-method cliff (the round-1 design
+        # compiled per-polygon predicates and had to re-scan the points
+        # once per JIT-sized group):
+        #   - axis rects (the common case): a codegen'd range check on
+        #     bbox columns delivered by the broadcast geometry join
+        #   - general rings: the even-odd ray cast as a higher-order
+        #     aggregate over the polygon's edge array (JVM-side; each
+        #     lambda is a handful of ops, horizontal edges pre-dropped
+        #     — exactly ray_cast()'s arithmetic and edge semantics)
         px, py = F.col(lon), F.col(lat)
-        groups: list[list] = [[]]
-        budget = 0
+        geo_rows = []
         for _, p in polygons.iterrows():
             xs = np.asarray(p["xs"], np.float64)
-            cost = 1 if _is_axis_rect(xs, np.asarray(p["ys"])) else len(xs)
-            if budget + cost > 12 and groups[-1]:
-                groups.append([])
-                budget = 0
-            groups[-1].append(p)
-            budget += cost
-
-        spark_cover = spark.createDataFrame(cover, schema="polygon_id long, cell long")
-        outs = []
-        for grp in groups:
-            pids = [int(p["polygon_id"]) for p in grp]
-            cov_g = F.broadcast(spark_cover.filter(F.col("polygon_id").isin(pids)))
-            cand_g = points.join(cov_g, on=cell, how="inner")
-            inside = F.lit(False)
-            for p in grp:
-                e = _poly_pred_expr(
-                    np.asarray(p["xs"], np.float64), np.asarray(p["ys"], np.float64), px, py
+            ys = np.asarray(p["ys"], np.float64)
+            if _is_axis_rect(xs, ys):
+                geo_rows.append(
+                    (int(p["polygon_id"]), True,
+                     float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()),
+                     [])
                 )
-                inside = inside | ((F.col("polygon_id") == int(p["polygon_id"])) & e)
-            outs.append(cand_g.filter(inside))
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionByName(o)
-        return out
+            else:
+                n = len(xs)
+                edges = [
+                    (float(xs[i]), float(ys[i]), float(xs[i - 1]), float(ys[i - 1]))
+                    for i in range(n)
+                    if ys[i - 1] != ys[i]  # horizontal edges never cross
+                ]
+                geo_rows.append(
+                    (int(p["polygon_id"]), False, 0.0, 0.0, 0.0, 0.0, edges)
+                )
+        geo_df = F.broadcast(
+            spark.createDataFrame(
+                geo_rows,
+                "polygon_id long, __is_rect boolean, __x0 double, __y0 double,"
+                " __x1 double, __y1 double,"
+                " __edges array<struct<xi:double,yi:double,xj:double,yj:double>>",
+            )
+        )
+        cand2 = cand.join(geo_df, "polygon_id")
+
+        def cross(acc, ed):
+            crosses = (ed["yi"] > py) != (ed["yj"] > py)
+            xint = (ed["xj"] - ed["xi"]) * (py - ed["yi"]) / (ed["yj"] - ed["yi"]) + ed["xi"]
+            return acc + F.when(crosses & (px < xint), F.lit(1)).otherwise(F.lit(0))
+
+        inside = F.when(
+            F.col("__is_rect"),
+            (px >= F.col("__x0")) & (px < F.col("__x1"))
+            & (py >= F.col("__y0")) & (py < F.col("__y1")),
+        ).otherwise(F.aggregate(F.col("__edges"), F.lit(0), cross) % 2 == 1)
+        helper = ["__is_rect", "__x0", "__y0", "__x1", "__y1", "__edges"]
+        return cand2.filter(inside).drop(*helper)
 
     rings = {
         int(p["polygon_id"]): (

@@ -246,3 +246,34 @@ def test_avg_invariant_under_parallelism(spark):
     serial = run(df1.coalesce(1), df2.coalesce(1))
     parallel = run(df1.repartition(16), df2.repartition(16))
     assert serial.equals(parallel)
+
+
+def test_remove_surrounding_footprint_scenarios():
+    """Port of testRemoveSurrounding scenarios A-E
+    (rios/riostests/testfootprint.py:146-206), bboxes in lat/lon."""
+    from rios_spark.applier import remove_surrounding
+
+    glob = (-180.0, -90.0, 180.0, 90.0)
+    ctr = (10.0, -40.0, 20.0, -30.0)
+    ctr_small = (12.0, -38.0, 18.0, -32.0)
+    ctr_offset = (15.0, -45.0, 25.0, -35.0)
+    bris = (150.0, -30.0, 155.0, -25.0)
+
+    # A: global surrounds both -> removed
+    assert remove_surrounding(
+        {"g": glob, "c": ctr, "o": ctr_offset}
+    ) == ["c", "o"]
+    # B: small is surrounded but does not surround -> kept
+    assert remove_surrounding(
+        {"g": glob, "s": ctr_small, "c": ctr, "o": ctr_offset}
+    ) == ["s", "c", "o"]
+    # C: partial overlap, nothing surrounds all -> both kept
+    assert remove_surrounding({"c": ctr, "o": ctr_offset}) == ["c", "o"]
+    # D: global vs one -> global removed
+    assert remove_surrounding({"g": glob, "b": bris}) == ["b"]
+    # E: single input always kept
+    assert remove_surrounding({"b": bris}) == ["b"]
+    # iterative: nested surrounds chain removes outer two
+    assert remove_surrounding(
+        {"g": glob, "mid": (0.0, -50.0, 30.0, -20.0), "c": ctr}
+    ) == ["c"]

@@ -159,3 +159,89 @@ def test_mercator_roundtrip(spark):
     got = anchor.select(ax.alias("x"), ay.alias("y")).collect()[0]
     assert got["x"] == pytest.approx(np.pi * 6378137.0)
     assert got["y"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_transverse_mercator_roundtrip_and_invariants(spark):
+    """General reprojection (F3/F4): UTM <-> WGS84 closed-form series.
+    Round-trip error < 1e-9 deg over the zone; exact invariants: the
+    central meridian maps to E=500000, the equator to N=0 (north)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rios_spark.grid import (
+        lonlat_to_utm_cols,
+        utm_to_lonlat_cols,
+        utm_zone_lon0,
+    )
+
+    rng = np.random.default_rng(3)
+    zone = 56
+    lon0 = utm_zone_lon0(zone)
+    pdf = pd.DataFrame(
+        {
+            "i": np.arange(400),
+            "lat": rng.uniform(-79.0, 83.0, 400),
+            "lon": lon0 + rng.uniform(-2.9, 2.9, 400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    e, n = lonlat_to_utm_cols("lat", "lon", zone)
+    df2 = df.withColumn("e", e).withColumn("n", n)
+    la, lo = utm_to_lonlat_cols("e", "n", zone)
+    out = (
+        df2.withColumn("lat2", la).withColumn("lon2", lo)
+        .select("i", "lat", "lon", "lat2", "lon2", "e", "n")
+        .toPandas()
+        .sort_values("i")
+    )
+    np.testing.assert_allclose(out["lat2"], out["lat"], atol=1e-9)
+    np.testing.assert_allclose(out["lon2"], out["lon"], atol=1e-9)
+
+    # invariants: central meridian -> E=500000 exactly; equator -> N=0;
+    # scale at the CM is k0 over the meridian arc
+    anchor = spark.createDataFrame(
+        pd.DataFrame({"lat": [0.0, 45.0, -33.5], "lon": [lon0, lon0, lon0]})
+    )
+    e2, n2 = lonlat_to_utm_cols("lat", "lon", zone)
+    got = anchor.select(e2.alias("e"), n2.alias("n")).toPandas()
+    np.testing.assert_allclose(got["e"], 500000.0, atol=1e-6)
+    assert abs(got["n"].iloc[0]) < 1e-6  # equator
+    assert got["n"].iloc[1] > 0 and got["n"].iloc[2] < 0  # signed northing (no false_n)
+
+    # south-hemisphere false northing
+    es, ns = lonlat_to_utm_cols("lat", "lon", zone, south=True)
+    gs = anchor.select(ns.alias("n")).toPandas()
+    np.testing.assert_allclose(gs["n"].iloc[0], 10000000.0, atol=1e-6)
+
+
+def test_utm_ingest_to_cells_matches_direct(spark):
+    """Mixed-CRS ingest: a UTM-keyed source normalized to lat/lon and
+    cell-indexed equals indexing the original lat/lon directly."""
+    import pandas as pd
+
+    from rios_spark.grid import cell_col, lonlat_to_utm_cols, utm_to_lonlat_cols
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "i": np.arange(300),
+            "lat": rng.uniform(-60, 60, 300),
+            "lon": 147.0 + rng.uniform(-2.5, 2.5, 300),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    e, n = lonlat_to_utm_cols("lat", "lon", 55)
+    utm_src = df.select("i", e.alias("easting"), n.alias("northing"))
+    la, lo = utm_to_lonlat_cols("easting", "northing", 55)
+    got = (
+        utm_src.withColumn("lat", la).withColumn("lon", lo)
+        .withColumn("cell", cell_col("lat", "lon", 8))
+        .select("i", "cell").toPandas().sort_values("i")["cell"].to_numpy()
+    )
+    want = (
+        df.withColumn("cell", cell_col("lat", "lon", 8))
+        .select("i", "cell").toPandas().sort_values("i")["cell"].to_numpy()
+    )
+    # round-trip error ~1e-9 deg can flip a cell only exactly on a cell
+    # boundary, which the jittered fixture avoids
+    assert (got == want).all()

@@ -124,3 +124,59 @@ def test_cell_coord_cols(spark):
     # the centre re-encodes to the same cell (round-trip contract)
     back = np_cell(out["cell_lat"].to_numpy(), out["cell_lon"].to_numpy(), 7)
     assert (back == out["cell"].to_numpy()).all()
+
+
+def test_brewer_table_matches_reference_interp():
+    """genTable parity (rios/colortable.py:320-392): control points
+    spread over [0, n], numpy.interp, uint8 conversion; ignore_val row
+    transparent."""
+    from rios_spark.rat import BREWER_RAMPS, brewer_table
+
+    n = 50
+    t = brewer_table("Blues", n, ignore_val=0)
+    assert list(t.columns) == ["entry", "red", "green", "blue", "alpha"]
+    assert len(t) == n
+    yobs = np.array([float(v) for v in BREWER_RAMPS["Blues"]["red"].split()])
+    want = np.interp(
+        np.linspace(0, n, n), np.linspace(0, n, len(yobs)), yobs
+    ).astype(np.uint8)
+    assert (t["red"].to_numpy() == want).all()
+    assert t["alpha"].iloc[0] == 0 and (t["alpha"].iloc[1:] == 255).all()
+    # endpoints hit the first/last control points
+    assert t["red"].iloc[0] == 247
+
+
+def test_add_brewer_colors_joins_by_category(spark):
+    from rios_spark.rat import add_brewer_colors, brewer_table
+
+    pdf = pd.DataFrame({"cat": np.arange(20, dtype=np.int64), "n": np.arange(20) * 3})
+    out = (
+        add_brewer_colors(spark.createDataFrame(pdf), "cat", "Spectral")
+        .toPandas()
+        .sort_values("cat")
+        .reset_index(drop=True)
+    )
+    want = brewer_table("Spectral", 20)
+    assert (out["red"].to_numpy() == want["red"].to_numpy()).all()
+    assert (out["blue"].to_numpy() == want["blue"].to_numpy()).all()
+
+
+def test_rat_apply_rcm_modes(spark):
+    from rios_spark.rat import (
+        RCM_EQUALS_INPUT,
+        RCM_FIXED,
+        RCM_INCREMENT,
+        rat_apply_rcm,
+    )
+
+    pdf = pd.DataFrame({"cat": np.arange(30, dtype=np.int64)})
+    df = spark.createDataFrame(pdf)
+    fn = lambda c: pd.DataFrame({"cat": c["cat"], "double": c["cat"] * 2})  # noqa: E731
+    schema = "cat long, double long"
+    eq = rat_apply_rcm(df, fn, schema, RCM_EQUALS_INPUT).toPandas()
+    assert len(eq) == 30 and (eq.sort_values("cat")["double"].to_numpy() == np.arange(30) * 2).all()
+    fx = rat_apply_rcm(df, fn, schema, RCM_FIXED, fixed_rows=10).toPandas()
+    assert len(fx) == 10 and set(fx["cat"]) == set(range(10))
+    inc = spark.createDataFrame(pd.DataFrame({"cat": [100, 101], "double": [200, 202]}))
+    gr = rat_apply_rcm(df, fn, schema, RCM_INCREMENT, increment=inc).toPandas()
+    assert len(gr) == 32 and 101 in set(gr["cat"])

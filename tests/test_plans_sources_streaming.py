@@ -208,3 +208,21 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     assert len(got) == n_unique  # every distinct text exactly once
     # none of the late duplicate ids survived
     assert (got["page_id"] < 10_000).all()
+
+
+def test_progress_monitor_reports(spark):
+    """U5: the cuiprogress analogue — callback sees task progress while
+    an action runs; final call reports all tasks complete."""
+    from pyspark.sql import functions as F
+
+    from rios_spark.progress import ProgressMonitor
+
+    calls = []
+    with ProgressMonitor(spark, lambda d, t, p: calls.append((d, t, p)), poll=0.05):
+        spark.range(3_000_000, numPartitions=24).select(
+            F.sum(F.sqrt(F.col("id").cast("double")))
+        ).collect()
+    assert calls, "callback never fired"
+    d, t, p = calls[-1]
+    assert t >= 24 and d == t and p == 100.0
+    assert all(0.0 <= p <= 100.0 for _, _, p in calls)
