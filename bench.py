@@ -71,6 +71,9 @@ HEADLINE = [
     "minhash_w1_docs",
     "embedding_topk",
     "simhash_docs",
+    "median_across_sources",
+    "vocab_topk_docs",
+    "embedding_near_dup_pairs",
 ]
 
 

@@ -885,6 +885,31 @@ WHERE rank <= 5
 """
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs, EXACT mode (planes=0 → one
+    bucket → all-pairs verification; the LSH-bucketed mode is the scale
+    path, proven equivalent-up-to-recall in the pytest suite). Returns
+    id pairs only: pair MEMBERSHIP is ulp-stable (the fixture's nearest
+    cosine is 5.5e-4 from the 0.45 threshold) while cosine VALUES are
+    fp-order-dependent — same discipline as embedding_topk's
+    ranks-only contract."""
+    from rios_spark import dedup
+
+    embs = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup(
+        embs, "embedding", "vec_id", threshold=0.45, planes=0
+    )
+    return pairs.select("id1", "id2")
+
+
+O_EMBEDDING_NEAR_DUP_PAIRS = """
+SELECT q.vec_id AS id1, e.vec_id AS id2
+FROM embeddings q CROSS JOIN embeddings e
+WHERE q.vec_id < e.vec_id
+  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.45
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
     """64-bit simhash per document (rows-only check: md5-bit voting is
     not reasonably SQL-expressible)."""
@@ -980,6 +1005,34 @@ SELECT
   (SELECT count(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT s_suppkey FROM supplier)) AS n_intersect,
   (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer EXCEPT SELECT s_suppkey FROM supplier)) AS n_except,
   (SELECT count(*) FROM (SELECT c_custkey FROM customer UNION SELECT s_suppkey FROM supplier)) AS n_union
+"""
+
+
+def q_vocab_topk_docs(spark, sf_dir):
+    """Vocabulary statistics (training-data text analysis): top-50
+    tokens by document frequency over the corpus — explode whitespace
+    tokens once, one partial+final agg, deterministic tie-break. The
+    explode output never shuffles raw text: only (token, doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occ"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("token"))
+        .limit(50)
+    )
+
+
+O_VOCAB_TOPK_DOCS = """
+SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_docs DESC, n_occ DESC, token ASC
+LIMIT 50
 """
 
 
@@ -1083,6 +1136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_events_per_type": q_topk_events_per_type,
     "set_ops_keys": q_set_ops_keys,
     "distinct_lang_source": q_distinct_lang_source,
+    "vocab_topk_docs": q_vocab_topk_docs,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "asof_login_events": q_asof_login_events,
     "media_image_features": q_media_image_features,
     "rat_color_table": q_rat_color_table,
@@ -1119,6 +1174,8 @@ ORACLES: dict[str, str] = {
     "topk_events_per_type": O_TOPK_EVENTS_PER_TYPE,
     "set_ops_keys": O_SET_OPS_KEYS,
     "distinct_lang_source": O_DISTINCT_LANG_SOURCE,
+    "vocab_topk_docs": O_VOCAB_TOPK_DOCS,
+    "embedding_near_dup_pairs": O_EMBEDDING_NEAR_DUP_PAIRS,
     "asof_login_events": O_ASOF_LOGIN_EVENTS,
     "adaptive_split_docs": O_ADAPTIVE_SPLIT_DOCS,
     "median_across_sources": O_MEDIAN_ACROSS_SOURCES,
