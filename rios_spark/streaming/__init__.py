@@ -53,6 +53,39 @@ def stream_tile_counts(
     )
 
 
+def stream_zonal_counts(
+    pages_stream: DataFrame,
+    polygons: pd.DataFrame,
+    res: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Streaming zonal counts: the PIP join is a STATELESS transform
+    (broadcast polyfill cover + broadcast geometry join + codegen'd/HOF
+    containment filter — a stream-static join Spark supports natively),
+    so the only streaming state is the watermarked (window, polygon)
+    count — exactly the batch zonal plan with a window key added. The
+    streaming face of SURVEY.md A14/J6."""
+    from rios_spark.spatial import pip_join
+
+    tiled = pages_stream.withColumn("cell", cell_col(lat, lon, res))
+    joined = pip_join(tiled, polygons, res, lat=lat, lon=lon)
+    return (
+        joined.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "polygon_id")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "polygon_id",
+            "n_pages",
+        )
+    )
+
+
 def stream_dedup_exact(
     pages_stream: DataFrame,
     text_col: str = "text",

@@ -269,3 +269,39 @@ def test_vector_info_metadata_scan():
     assert info["n_vertices"].tolist() == [4, 3]
     assert info["area_deg2"].tolist() == [8.0, 3.0]
     assert info.iloc[0][["lon_min", "lat_min", "lon_max", "lat_max"]].tolist() == [0.0, 0.0, 4.0, 2.0]
+
+
+def test_stream_zonal_counts_matches_batch(spark, tmp_path):
+    """Streaming zonal counts (stateless PIP join + watermarked window
+    agg) == the batch zonal plan on the same data."""
+    from rios_spark.spatial import pip_join
+    from rios_spark.streaming import stream_zonal_counts
+
+    pdf = datagen.gen_pages(4000)
+    polys = datagen.gen_polygons()
+    src = str(tmp_path / "zstream_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_zonal_counts(stream, polys, RES, window="6 hours", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("zonal_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from zonal_stream_test").toPandas()
+    batch = spark.read.parquet(src).withColumn("cell", cell_col("lat", "lon", RES))
+    want = (
+        pip_join(batch, polys, RES)
+        .groupBy(F.window("warc_ts", "6 hours").alias("win"), "polygon_id")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), "polygon_id", "n_pages")
+        .toPandas()
+    )
+    g = got.set_index(["win_start", "polygon_id"])["n_pages"].sort_index()
+    w = want.set_index(["win_start", "polygon_id"])["n_pages"].sort_index()
+    assert len(g) and g.equals(w)
