@@ -194,6 +194,29 @@ def kring_cells_col(cell: Column | str, res: int, k: int) -> Column:
     return F.array_compact(F.array(*cells))
 
 
+def kring_cells_var_col(cell: Column | str, res: int, radius: Column) -> Column:
+    """kring_cells_col with a PER-ROW radius column: array of all cells
+    within Chebyshev distance `radius` of `cell`. Built with
+    sequence/transform higher-order expressions (JVM-side); x wraps,
+    y rows beyond the poles drop. The caller must keep radius
+    <= ((1<<res)-1)//2 so the x wrap cannot produce duplicates."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    n = 1 << res
+    rem = cell - F.lit(res * RES_MUL).cast("long")
+    y = F.shiftright(rem, 29)
+    x = rem - y * F.lit(Y_MUL).cast("long")
+    rng = F.sequence(-radius.cast("long"), radius.cast("long"))
+
+    def mk(dy, dx):
+        ny = y + dy
+        nx = (x + dx + F.lit(n).cast("long")) % F.lit(n).cast("long")
+        c = F.lit(res * RES_MUL).cast("long") + ny * F.lit(Y_MUL).cast("long") + nx
+        return F.when((ny >= 0) & (ny < n), c)
+
+    arr = F.flatten(F.transform(rng, lambda dy: F.transform(rng, lambda dx: mk(dy, dx))))
+    return F.array_compact(arr)
+
+
 def cell_coord_cols(cell: Column | str, res: int) -> dict[str, Column]:
     """Per-tile world-coordinate columns — the getBlockCoordArrays
     analogue (rios/readerinfo.py:234-258): centre + outer bounds of the

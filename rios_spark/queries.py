@@ -383,7 +383,7 @@ def q_knn_tiled_cust_supp(spark, sf_dir):
         .select(F.col("s_suppkey").alias("id"), "lat", "lon")
         .withColumn("cell", cell_col("lat", "lon", CUST_RES))
     )
-    out = spatial.knn_tiled(cust, supp, 3, CUST_RES, ring=1, d_id="id", q_id="c_custkey")
+    out = spatial.knn_tiled(cust, supp, 3, CUST_RES, d_id="id", q_id="c_custkey")
     return out.select(
         "c_custkey",
         F.col("neighbor_id").alias("s_suppkey"),

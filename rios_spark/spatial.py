@@ -450,15 +450,16 @@ def _ring_guard_km(res: int, ring: int, q_lat: str, q_lon: str):
 
 
 def _rank_and_prove(
-    cand: DataFrame, part_cols: list[str], k: int, res: int, ring: int,
+    cand: DataFrame, part_cols: list[str], k: int, res: int, ring,
     q_lat: str, q_lon: str,
 ) -> DataFrame:
     """Window top-k + the completeness guard, all inside ONE window
     partitioning (one shuffle): a query's top-k is proven exact iff it
     found k candidates and its k-th distance is within the ring's
-    guaranteed coverage radius. Adds rank + __proved. No per-query agg
-    DataFrame, no broadcast of the proven set (which is almost ALL
-    queries — broadcasting it was a round-1 scale bug)."""
+    guaranteed coverage radius. Adds rank, __nfound, __kth, __proved.
+    No per-query agg DataFrame, no broadcast of the proven set (which
+    is almost ALL queries — broadcasting it was a round-1 scale bug).
+    `ring` may be an int or a per-row Column (adaptive escalation)."""
     dist = _haversine_col(F.col(q_lat), F.col(q_lon), F.col("__dlat"), F.col("__dlon"))
     cand = cand.withColumn("dist_km", dist)
     keys = [F.col(c) for c in part_cols]
@@ -468,9 +469,12 @@ def _rank_and_prove(
     wp = Window.partitionBy(*keys)
     ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     guard = _ring_guard_km(res, ring, q_lat, q_lon)
-    return ranked.withColumn(
-        "__proved",
-        (F.count("dist_km").over(wp) >= k) & (F.max("dist_km").over(wp) < guard),
+    return (
+        ranked.withColumn("__nfound", F.count("dist_km").over(wp))
+        .withColumn("__kth", F.max("dist_km").over(wp))
+        .withColumn(
+            "__proved", (F.col("__nfound") >= k) & (F.col("__kth") < guard)
+        )
     )
 
 
@@ -551,7 +555,7 @@ def knn_tiled(
     data: DataFrame,
     k: int,
     res: int,
-    ring: int = 1,
+    ring: int | str = "auto",
     q_lat: str = "lat",
     q_lon: str = "lon",
     d_lat: str = "lat",
@@ -573,17 +577,37 @@ def knn_tiled(
     The guard is evaluated as window aggregates inside the SAME shuffle
     as the ranking — no extra agg job, no broadcast of the proven set.
 
-    Phase 3 — escalation: unproven queries re-run at a doubled ring,
-    exploding the QUERY side this time (the residue is the small side,
-    so the (2r+1)^2 duplication lands on it, not on the data). Up to
-    `max_escalations` rounds; anything still unproven finishes in a
-    single distributed data scan with the residue queries broadcast
-    (_knn_residual_scan). The data side is NEVER collected.
+    Phase 3 — adaptive escalation: an unproven query with >= k found
+    candidates knows its k-th distance, hence EXACTLY how wide a ring
+    certifies it — one variable-radius pass (per-row k-ring explode on
+    the QUERY side: the residue is the small side, so the (2r+1)^2
+    duplication lands on it, not on the data) proves nearly all of the
+    residue at once. Anything still unproven (including < k found)
+    finishes in a single distributed data scan with the residue
+    queries broadcast (_knn_residual_scan). The data side is NEVER
+    collected.
+
+    ring="auto" sizes the first ring from the data density so the
+    first pass can actually PROVE most top-k sets: a ring-1 pass
+    against sparse data (e.g. 1 point per cell, k=3) proves nothing
+    and its join+window cost is pure waste before escalation. The
+    guard keeps any ring choice exact — this is performance only.
 
     Both query and data DataFrames must already carry a `cell` column
     at `res`.
     """
-    from rios_spark.margin import IS_MARGIN, OWNER, with_margin
+    import math
+
+    from rios_spark.grid import kring_cells_var_col
+    from rios_spark.margin import OWNER, with_margin
+
+    if ring == "auto":
+        density = data.count() / float((1 << res) ** 2)
+        # target enough expected candidates that the k-th distance sits
+        # well inside the guaranteed coverage radius
+        need = max(9.0, 4.0 * k)
+        width = math.sqrt(need / max(density, 1e-12))
+        ring = max(1, min(int((width - 1) / 2) + 1, max(1, (1 << res) // 4)))
 
     qcols = queries.columns
     # partition the ranking window by a single unique query id when the
@@ -598,22 +622,44 @@ def knn_tiled(
         F.col(d_lon).alias("__dlon"),
     )
     cand = queries.join(d_exp, "cell", "left")
-    ranked = _rank_and_prove(cand, part_cols, k, res, ring, q_lat, q_lon)
+    # persist the top-k frame (queries x k rows — tiny next to the
+    # candidate join producing it): the completeness check below and the
+    # final output would otherwise EACH re-execute the join+window
+    # (actions do not share shuffle stages across jobs)
+    ranked = _rank_and_prove(cand, part_cols, k, res, ring, q_lat, q_lon).persist()
     outs = [ranked.filter(F.col("__proved")).select(*out_cols)]
-    bad_keys = ranked.filter(~F.col("__proved")).select(*part_cols).distinct()
+    # per-query escalation plan: an unproven query with >= k candidates
+    # KNOWS its k-th distance, hence exactly how wide a ring certifies
+    # it; queries with < k candidates seen have no bound and go straight
+    # to the residual scan
+    bad_keys = (
+        ranked.filter(~F.col("__proved"))
+        .groupBy(*part_cols)
+        .agg(F.max("__nfound").alias("__nf"), F.max("__kth").alias("__kd"))
+    )
+    if bad_keys.limit(1).count() == 0:
+        return _union_all(outs)
 
-    r = ring
-    for _ in range(max_escalations):
-        if bad_keys.limit(1).count() == 0:
-            return _union_all(outs)
-        r = 2 * r + 1
-        if 2 * r + 1 >= (1 << res):
-            break  # ring would wrap the grid: finish with the full scan
-        bad_q = queries.join(F.broadcast(bad_keys), part_cols, "left_semi")
-        probe = (
-            with_margin(bad_q, res, r, cell="cell")
-            .drop(IS_MARGIN)
-            .withColumnRenamed(OWNER, "__probe")
+    n = 1 << res
+    max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
+    if max_escalations > 0:
+        bad_q = queries.join(F.broadcast(bad_keys), part_cols, "inner")
+        esc = bad_q.filter(
+            (F.col("__nf") >= k) & F.col("__kd").isNotNull()
+        )
+        # kth distance -> ring radius in cells, conservatively: lat km
+        # per cell is constant; lon km per cell shrinks by cos(lat) at
+        # the box's far edge (pad the latitude by the radius itself)
+        lat_deg = F.col("__kd") / F.lit(110.574)
+        pad_lat = F.least(F.abs(F.col(q_lat)) + lat_deg, F.lit(89.0))
+        r_lat = lat_deg / F.lit(180.0 / n)
+        r_lon = (F.col("__kd") / (F.lit(111.32) * F.cos(F.radians(pad_lat)))) / F.lit(360.0 / n)
+        radius = F.least(
+            F.greatest(F.ceil(F.greatest(r_lat, r_lon)) + 1, F.lit(ring + 1)),
+            F.lit(max_radius),
+        ).cast("int")
+        probe = esc.withColumn("__radius", radius).withColumn(
+            "__probe", F.explode(kring_cells_var_col(F.col("cell"), res, F.col("__radius")))
         )
         d_plain = data.select(
             F.col("cell").alias("__probe"),
@@ -622,12 +668,21 @@ def knn_tiled(
             F.col(d_lon).alias("__dlon"),
         )
         cand_r = probe.join(d_plain, "__probe", "left").drop("__probe")
-        ranked_r = _rank_and_prove(cand_r, part_cols, k, res, r, q_lat, q_lon)
+        ranked_r = _rank_and_prove(
+            cand_r, part_cols, k, res, F.col("__radius"), q_lat, q_lon
+        ).persist()
         outs.append(ranked_r.filter(F.col("__proved")).select(*out_cols))
-        bad_keys = ranked_r.filter(~F.col("__proved")).select(*part_cols).distinct()
+        bad_keys = (
+            ranked_r.filter(~F.col("__proved")).select(*part_cols).distinct()
+            .unionByName(
+                bad_keys.filter(~((F.col("__nf") >= k) & F.col("__kd").isNotNull()))
+                .select(*part_cols)
+            )
+            .distinct()
+        )
+        if bad_keys.limit(1).count() == 0:
+            return _union_all(outs)
 
-    if bad_keys.limit(1).count() == 0:
-        return _union_all(outs)
     bad_q = queries.join(F.broadcast(bad_keys), part_cols, "left_semi")
     fixed = _knn_residual_scan(
         bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id
