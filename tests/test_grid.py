@@ -245,3 +245,33 @@ def test_utm_ingest_to_cells_matches_direct(spark):
     # round-trip error ~1e-9 deg can flip a cell only exactly on a cell
     # boundary, which the jittered fixture avoids
     assert (got == want).all()
+
+
+def test_kring_var_radius_matches_fixed(spark):
+    """kring_cells_var_col(r) == kring_cells_col(k=r) for every row —
+    the per-row-radius variant used by adaptive kNN escalation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rios_spark.grid import cell_col, kring_cells_col, kring_cells_var_col
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {"lat": rng.uniform(-89, 89, 200), "lon": rng.uniform(-180, 180, 200),
+         "r": rng.integers(1, 4, 200)}
+    )
+    df = spark.createDataFrame(pdf).withColumn("cell", cell_col("lat", "lon", 5))
+    for r in (1, 2, 3):
+        sub = df.filter(F.col("r") == r)
+        got = sub.select(
+            F.array_sort(kring_cells_var_col(F.col("cell"), 5, F.lit(r))).alias("a"),
+            F.array_sort(kring_cells_col(F.col("cell"), 5, r)).alias("b"),
+        ).toPandas()
+        for a, b in zip(got["a"], got["b"]):
+            assert list(a) == list(b)
+    # per-row radius in one pass
+    got = df.select(
+        F.array_sort(kring_cells_var_col(F.col("cell"), 5, F.col("r"))).alias("a"),
+        "r", "cell",
+    ).toPandas()
+    assert all(len(a) <= (2 * r + 1) ** 2 for a, r in zip(got["a"], got["r"]))
