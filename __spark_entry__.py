@@ -3,9 +3,9 @@
 The engine lives in rios_spark/ (see SURVEY.md §2 for the operator
 inventory these queries cover). Every queries() entry has a matching
 oracle_sql() DuckDB statement computing the same result with identical
-arithmetic, except the three documented rows-only entries
-(adaptive_split_docs, simhash_docs, extract_text_invariant — recursive
-split decisions, md5-bit voting, and UDF text extraction are not
+arithmetic, except the four documented rows-only entries (simhash_docs,
+extract_text_invariant, media_image_features, rat_color_table —
+md5-bit voting, UDF text extraction, and binary/color fixtures are not
 SQL-expressible). Self-check: python tools/check_oracles.py
 """
 

@@ -263,3 +263,19 @@ def test_embedding_near_dup_hot_cluster_sparsified(spark):
         parent[find(int(a))] = find(int(b))
     roots = {find(i) for i in range(n_cluster)}
     assert len(roots) == 1, f"cluster split into {len(roots)} components"
+
+
+def test_cosine_topk_ivf_shard_invariance(spark, embs):
+    """list_shards splits hot inverted lists across cogroup tasks; the
+    result must be IDENTICAL to the unsharded run (each shard emits a
+    local top-k, the final window merges)."""
+    queries = embs.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    base = ann.cosine_topk_ivf(
+        queries, embs, 5, n_centroids=8, nprobe=8, q_id="qid"
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    sharded = ann.cosine_topk_ivf(
+        queries, embs, 5, n_centroids=8, nprobe=8, q_id="qid", list_shards=3
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert base[["qid", "neighbor_id", "rank"]].equals(
+        sharded[["qid", "neighbor_id", "rank"]]
+    )
