@@ -563,6 +563,7 @@ def knn_tiled(
     d_id: str = "id",
     q_id: str | None = None,
     max_escalations: int = 2,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Exact distributed kNN for a LARGE data side (SURVEY.md J8).
 
@@ -637,7 +638,17 @@ def knn_tiled(
         .groupBy(*part_cols)
         .agg(F.max("__nfound").alias("__nf"), F.max("__kth").alias("__kd"))
     )
-    if bad_keys.limit(1).count() == 0:
+    # counters: observability of which phase resolved how many queries
+    # (the RIOS Timers/metrics analogue for this operator); filling them
+    # costs one count() of the (persisted) tiny residue frames
+    if counters is not None:
+        bad_keys = bad_keys.persist()
+        counters["ring0"] = ring
+        counters["unproven_pass0"] = bad_keys.count()
+        n_bad0 = counters["unproven_pass0"]
+    else:
+        n_bad0 = None
+    if (n_bad0 == 0) if n_bad0 is not None else (bad_keys.limit(1).count() == 0):
         return _union_all(outs)
 
     n = 1 << res
@@ -647,15 +658,28 @@ def knn_tiled(
         esc = bad_q.filter(
             (F.col("__nf") >= k) & F.col("__kd").isNotNull()
         )
-        # kth distance -> ring radius in cells, conservatively: lat km
-        # per cell is constant; lon km per cell shrinks by cos(lat) at
-        # the box's far edge (pad the latitude by the radius itself)
-        lat_deg = F.col("__kd") / F.lit(110.574)
-        pad_lat = F.least(F.abs(F.col(q_lat)) + lat_deg, F.lit(89.0))
-        r_lat = lat_deg / F.lit(180.0 / n)
-        r_lon = (F.col("__kd") / (F.lit(111.32) * F.cos(F.radians(pad_lat)))) / F.lit(360.0 / n)
+        # kth distance -> ring radius in cells, matching the guard's own
+        # conservative arithmetic (110.57 km/deg; lon scaled by the MIN
+        # cos over the escalated box). The box's latitude extent depends
+        # on the radius itself, so run the estimate twice (fixed-point):
+        # pass 1 pads by the kth distance, pass 2 by pass 1's box.
+        cell_lat_deg = 180.0 / n
+        cell_lon_deg = 360.0 / n
+        lat_deg = F.col("__kd") / F.lit(110.57)
+
+        def est_radius(pad_lat):
+            r_lat = lat_deg / F.lit(cell_lat_deg)
+            r_lon = (
+                F.col("__kd") / (F.lit(110.0) * F.cos(F.radians(pad_lat)))
+            ) / F.lit(cell_lon_deg)
+            return F.ceil(F.greatest(r_lat, r_lon)) + 1
+
+        r0 = est_radius(F.least(F.abs(F.col(q_lat)) + lat_deg, F.lit(89.0)))
+        pad1 = F.least(
+            F.abs(F.col(q_lat)) + (r0 + 1) * F.lit(cell_lat_deg), F.lit(89.0)
+        )
         radius = F.least(
-            F.greatest(F.ceil(F.greatest(r_lat, r_lon)) + 1, F.lit(ring + 1)),
+            F.greatest(est_radius(pad1), r0, F.lit(ring + 1)),
             F.lit(max_radius),
         ).cast("int")
         probe = esc.withColumn("__radius", radius).withColumn(
@@ -680,9 +704,16 @@ def knn_tiled(
             )
             .distinct()
         )
-        if bad_keys.limit(1).count() == 0:
+        if counters is not None:
+            bad_keys = bad_keys.persist()
+            counters["unproven_escalated"] = bad_keys.count()
+            if counters["unproven_escalated"] == 0:
+                return _union_all(outs)
+        elif bad_keys.limit(1).count() == 0:
             return _union_all(outs)
 
+    if counters is not None:
+        counters["residual_scan"] = bad_keys.count()
     bad_q = queries.join(F.broadcast(bad_keys), part_cols, "left_semi")
     fixed = _knn_residual_scan(
         bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id

@@ -438,3 +438,36 @@ def test_resample_cubic_k16_matches_numpy_kernel(spark):
             .to_numpy()
         )
         np.testing.assert_allclose(r, ddf["val"].to_numpy()[:5], rtol=1e-9, err_msg=mode)
+
+
+def test_knn_tiled_phase_counters(spark):
+    """Observability: the counters dict reports how many queries each
+    phase resolved — and the adaptive escalation actually proves
+    queries that pass 0 could not (nfound >= k but kth >= guard)."""
+    res = 5
+    rng = np.random.default_rng(55)
+    # moderately sparse data: ring-1 finds candidates but often cannot
+    # certify them, so escalation does real work
+    ddf = pd.DataFrame(
+        {"id": np.arange(120), "lat": rng.uniform(-60, 60, 120), "lon": rng.uniform(-170, 170, 120)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(60), "lat": rng.uniform(-60, 60, 60), "lon": rng.uniform(-170, 170, 60)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    counters = {}
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, d_id="id", q_id="qid", counters=counters)
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    assert len(got) == 60 * 3
+    want = _brute_oracle(qdf, ddf, 3)
+    for qid, grp in got.groupby("qid"):
+        for (gi, gd), (wi, wd) in zip(
+            zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
+        ):
+            assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
+    assert counters["unproven_pass0"] > 0
+    # escalation resolved some (or all) of the pass-0 residue
+    assert counters["unproven_escalated"] <= counters["unproven_pass0"]
