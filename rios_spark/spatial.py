@@ -437,9 +437,18 @@ def _ring_guard_km(res: int, ring: int, q_lat: str, q_lon: str):
     box_lat_s = F.lit(90.0) - (y + 1 + ring) * F.lit(cell_h_deg)
     box_lon_w = (x - ring) * F.lit(360.0 / n) - F.lit(180.0)
     box_lon_e = (x + 1 + ring) * F.lit(360.0 / n) - F.lit(180.0)
-    # conservative km-per-degree: lat 111.32; lon scaled by min cos in box
+    # conservative km-per-degree: lat 111.32; lon scaled by min cos in
+    # box. CLAMP the box latitudes to [-90, 90] first: a ring extending
+    # past a pole otherwise yields |cos(>90°)| CLIMBING again, which
+    # overstates min_cos and falsely certifies a query whose true
+    # nearest sits across the pole outside the x-ring (polar tests).
+    # With the clamp, min_cos -> cos(90°) = 0 there, so pole-adjacent
+    # queries are never ring-proven and resolve exactly via escalation
+    # or the residual scan.
+    clamp = lambda c: F.greatest(F.lit(-90.0), F.least(F.lit(90.0), c))  # noqa: E731
     min_cos = F.least(
-        F.abs(F.cos(F.radians(box_lat_n))), F.abs(F.cos(F.radians(box_lat_s)))
+        F.abs(F.cos(F.radians(clamp(box_lat_n)))),
+        F.abs(F.cos(F.radians(clamp(box_lat_s)))),
     )
     return F.least(
         (F.col(q_lat) - box_lat_s) * F.lit(110.57),

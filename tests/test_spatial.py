@@ -471,3 +471,31 @@ def test_knn_tiled_phase_counters(spark):
     assert counters["unproven_pass0"] > 0
     # escalation resolved some (or all) of the pass-0 residue
     assert counters["unproven_escalated"] <= counters["unproven_pass0"]
+
+
+def test_knn_tiled_polar_queries_exact(spark):
+    """Poles stress the escalation math: min-cos -> 0 blows up the
+    lon-radius estimate (clamped to the wrap-safe max) and the guard is
+    maximally conservative — results must still be EXACT."""
+    res = 5
+    rng = np.random.default_rng(77)
+    ddf = pd.DataFrame(
+        {"id": np.arange(40), "lat": rng.uniform(-89.9, 89.9, 40), "lon": rng.uniform(-180, 180, 40)}
+    )
+    qlat = np.concatenate([rng.uniform(83, 89.9, 10), rng.uniform(-89.9, -83, 10)])
+    qdf = pd.DataFrame(
+        {"qid": np.arange(20), "lat": qlat, "lon": rng.uniform(-180, 180, 20)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, d_id="id", q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_oracle(qdf, ddf, 3)
+    assert len(got) == 20 * 3
+    for qid, grp in got.groupby("qid"):
+        for (gi, gd), (wi, wd) in zip(
+            zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
+        ):
+            assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
