@@ -423,11 +423,25 @@ def knn_bruteforce(
     return queries.mapInPandas(kern, schema=out_schema)
 
 
-def _ring_guard_km(res: int, ring: int, q_lat: str, q_lon: str):
-    """Guaranteed-coverage radius (km) of the `ring`-ring tile box around
-    each query's cell: the distance from the query point to the nearest
-    edge of the box, conservatively converted to km. Any data point
-    closer than this is guaranteed to be in the candidate set."""
+def _ring_guard_km(res: int, ring, q_lat: str, q_lon: str):
+    """Guaranteed-coverage radius (km) of the `ring`-ring tile box
+    around each query's cell: the minimum great-circle distance from
+    the query point to any point OUTSIDE the box. Any data point closer
+    than this is guaranteed to be in the candidate set.
+
+    Exact spherical edge distances (not a km-per-degree approximation):
+    - a parallel at delta-phi away is R*delta-phi; a box edge past a
+      pole bounds nothing (no cells beyond the pole) -> +inf term;
+    - the minimum distance to a half-meridian delta-lam away is the
+      cross-track bound R*asin(cos(phi)*sin(delta-lam)) for
+      delta-lam <= 90 deg, and the over-the-pole distance
+      R*(90 - |phi|) beyond (the meridian's nearest point is then past
+      the pole). Pole-correct by construction: near a pole the lon
+      terms shrink to the true over-the-pole distance instead of a
+      bogus min-cos scale (a ring box past the pole once yielded
+      |cos(>90 deg)| CLIMBING again and falsely certified queries
+      whose true nearest sat across the pole — caught by the polar
+      stress test)."""
     n = float(1 << res)
     cell_h_deg = 180.0 / n
     rem = F.col("cell") - F.lit(res * (1 << 58)).cast("long")
@@ -437,24 +451,27 @@ def _ring_guard_km(res: int, ring: int, q_lat: str, q_lon: str):
     box_lat_s = F.lit(90.0) - (y + 1 + ring) * F.lit(cell_h_deg)
     box_lon_w = (x - ring) * F.lit(360.0 / n) - F.lit(180.0)
     box_lon_e = (x + 1 + ring) * F.lit(360.0 / n) - F.lit(180.0)
-    # conservative km-per-degree: lat 111.32; lon scaled by min cos in
-    # box. CLAMP the box latitudes to [-90, 90] first: a ring extending
-    # past a pole otherwise yields |cos(>90°)| CLIMBING again, which
-    # overstates min_cos and falsely certifies a query whose true
-    # nearest sits across the pole outside the x-ring (polar tests).
-    # With the clamp, min_cos -> cos(90°) = 0 there, so pole-adjacent
-    # queries are never ring-proven and resolve exactly via escalation
-    # or the residual scan.
-    clamp = lambda c: F.greatest(F.lit(-90.0), F.least(F.lit(90.0), c))  # noqa: E731
-    min_cos = F.least(
-        F.abs(F.cos(F.radians(clamp(box_lat_n)))),
-        F.abs(F.cos(F.radians(clamp(box_lat_s)))),
-    )
-    return F.least(
-        (F.col(q_lat) - box_lat_s) * F.lit(110.57),
-        (box_lat_n - F.col(q_lat)) * F.lit(110.57),
-        (F.col(q_lon) - box_lon_w) * F.lit(110.57) * min_cos,
-        (box_lon_e - F.col(q_lon)) * F.lit(110.57) * min_cos,
+
+    big = F.lit(1e12)
+    rad_km = F.lit(EARTH_RADIUS_KM * np.pi / 180.0)  # km per degree of arc
+    phi = F.col(q_lat)
+    cos_phi = F.cos(F.radians(phi))
+    over_pole = (F.lit(90.0) - F.abs(phi)) * rad_km
+
+    d_n = F.when(box_lat_n >= 90.0, big).otherwise((box_lat_n - phi) * rad_km)
+    d_s = F.when(box_lat_s <= -90.0, big).otherwise((phi - box_lat_s) * rad_km)
+
+    def lon_term(dlam_deg):
+        cross = F.lit(EARTH_RADIUS_KM) * F.asin(cos_phi * F.sin(F.radians(dlam_deg)))
+        return F.when(dlam_deg >= 90.0, over_pole).otherwise(cross)
+
+    return F.greatest(
+        F.least(
+            d_n, d_s,
+            lon_term(F.col(q_lon) - box_lon_w),
+            lon_term(box_lon_e - F.col(q_lon)),
+        ),
+        F.lit(0.0),
     )
 
 
@@ -667,28 +684,30 @@ def knn_tiled(
         esc = bad_q.filter(
             (F.col("__nf") >= k) & F.col("__kd").isNotNull()
         )
-        # kth distance -> ring radius in cells, matching the guard's own
-        # conservative arithmetic (110.57 km/deg; lon scaled by the MIN
-        # cos over the escalated box). The box's latitude extent depends
-        # on the radius itself, so run the estimate twice (fixed-point):
-        # pass 1 pads by the kth distance, pass 2 by pass 1's box.
+        # kth distance -> ring radius in cells, inverting the guard's
+        # exact spherical edge distances in closed form. Because the
+        # query point sits INSIDE its own cell, a ring of R cells
+        # guarantees an edge margin of at least R*cell_deg in each
+        # direction, so:
+        #   lat: R_lat = ceil(kth_deg / cell_lat_deg)
+        #   lon: need asin(cos(phi)*sin(dlam)) * R_E >= kth
+        #        -> sin(dlam) >= sin(kth/R_E)/cos(phi); if that exceeds
+        #        1, no dlam < 90 deg works — take dlam = 90 deg, whose
+        #        guard term is the over-the-pole distance (proven or
+        #        not, the guard re-checks; unproven goes to the scan)
         cell_lat_deg = 180.0 / n
         cell_lon_deg = 360.0 / n
-        lat_deg = F.col("__kd") / F.lit(110.57)
-
-        def est_radius(pad_lat):
-            r_lat = lat_deg / F.lit(cell_lat_deg)
-            r_lon = (
-                F.col("__kd") / (F.lit(110.0) * F.cos(F.radians(pad_lat)))
-            ) / F.lit(cell_lon_deg)
-            return F.ceil(F.greatest(r_lat, r_lon)) + 1
-
-        r0 = est_radius(F.least(F.abs(F.col(q_lat)) + lat_deg, F.lit(89.0)))
-        pad1 = F.least(
-            F.abs(F.col(q_lat)) + (r0 + 1) * F.lit(cell_lat_deg), F.lit(89.0)
+        kth_deg = F.col("__kd") / F.lit(EARTH_RADIUS_KM * np.pi / 180.0)
+        r_lat = F.ceil(kth_deg / F.lit(cell_lat_deg))
+        sin_arg = F.sin(F.col("__kd") / F.lit(EARTH_RADIUS_KM)) / F.cos(
+            F.radians(F.col(q_lat))
         )
+        dlam_deg = F.when(sin_arg >= 1.0, F.lit(90.0)).otherwise(
+            F.degrees(F.asin(sin_arg))
+        )
+        r_lon = F.ceil(dlam_deg / F.lit(cell_lon_deg))
         radius = F.least(
-            F.greatest(est_radius(pad1), r0, F.lit(ring + 1)),
+            F.greatest(r_lat, r_lon, F.lit(ring)) + 1,
             F.lit(max_radius),
         ).cast("int")
         probe = esc.withColumn("__radius", radius).withColumn(
