@@ -12,9 +12,11 @@ Reference semantics being re-expressed (NOT ported):
 - Disjoint polygon → empty join → no stats row (testvector.py:76-83).
 - Nearest-neighbour resample join (rios/applier.py:655-661,
   rios/riostests/testresample.py:86-117) generalized to kNN (J7/J8):
-  k-ring candidate generation + exact ranking + top-k, with an exact
-  completeness guard (queries whose candidate set can't prove the
-  true top-k fall back to a broadcast scan).
+  k-ring candidate generation + exact ranking + top-k, certified by an
+  exact spherical completeness guard; unproven queries escalate once
+  with a per-query adaptive ring, and any remainder resolves in a
+  distributed residual scan with the (small) query set broadcast — the
+  data side is never collected.
 
 Geometry is pure vectorized numpy (no GEOS in this container):
 - even-odd ray casting; edge semantics are half-open and deterministic
