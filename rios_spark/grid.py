@@ -318,17 +318,19 @@ def utm_zone_lon0(zone: int) -> float:
 
 
 def lonlat_to_tm_cols(
-    lat: Column | str, lon: Column | str, lon0_deg: float,
+    lat: Column | str, lon: Column | str, lon0_deg,
     k0: float = _TM_K0, false_e: float = _TM_E0, false_n: float = 0.0,
 ) -> tuple[Column, Column]:
     """WGS84 lat/lon → transverse-Mercator easting/northing as pure
     Spark expressions (Krüger series forward). For UTM:
     lon0 = utm_zone_lon0(zone), false_n = 10000000 for the south
-    hemisphere (EPSG:327xx)."""
+    hemisphere (EPSG:327xx). lon0_deg may be a per-row Column (e.g. a
+    zone column derived from the longitude)."""
     lat = F.col(lat) if isinstance(lat, str) else lat
     lon = F.col(lon) if isinstance(lon, str) else lon
+    lon0 = lon0_deg if isinstance(lon0_deg, Column) else F.lit(float(lon0_deg))
     phi = F.radians(lat)
-    lam = F.radians(lon - F.lit(lon0_deg))
+    lam = F.radians(lon - lon0)
     s = F.sin(phi)
     t = F.sinh(
         F.atanh(s) - F.lit(_TM_ES) * F.atanh(F.lit(_TM_ES) * s)

@@ -1016,6 +1016,72 @@ SELECT
 """
 
 
+def q_utm_project_customers(spark, sf_dir):
+    """General reprojection (F3/F4), oracle-checked: project every
+    customer's geocode into its own UTM zone (per-row central meridian)
+    with the Krüger-series transverse Mercator. Both engines evaluate
+    the same series; hyperbolics differ at the few-ulp level between
+    JVM Math.* and the oracle's exp/ln forms, absorbed by flooring to
+    0.1 m (~10^9 x the fp noise)."""
+    from rios_spark.grid import lonlat_to_tm_cols
+
+    cust = _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES)
+    zone = F.greatest(
+        F.lit(1),
+        F.least(F.lit(60), F.floor((F.col("lon") + 180.0) / 6.0).cast("int") + 1),
+    )
+    cust = cust.withColumn("zone", zone)
+    e, n = lonlat_to_tm_cols(
+        "lat", "lon", (F.col("zone") * 6 - 183).cast("double")
+    )
+    return cust.select(
+        "c_custkey",
+        F.col("zone").cast("long").alias("zone"),
+        (F.floor(e * 10.0) / 10.0).alias("easting"),
+        (F.floor(n * 10.0) / 10.0).alias("northing"),
+    )
+
+
+def _o_utm() -> str:
+    from rios_spark.grid import _ALPHA, _TM_A, _TM_ES, _TM_K0
+
+    lat, lon = geocode_sql("c_custkey")
+    es = repr(_TM_ES)
+    k0a = repr(_TM_K0 * _TM_A)
+    a1, a2, a3, a4 = (repr(a) for a in _ALPHA)
+    # asinh(x) = ln(x + sqrt(x*x + 1)); sinh/cosh via exp
+    return f"""
+WITH g AS (SELECT c_custkey, {lat} AS lat, {lon} AS lon FROM customer),
+z AS (SELECT c_custkey, lat, lon,
+      greatest(1, least(60, cast(floor((lon + 180.0)/6.0) AS bigint) + 1)) AS zone FROM g),
+p AS (SELECT c_custkey, zone, radians(lat) AS phi,
+      radians(lon - cast(zone*6 - 183 AS double)) AS lam FROM z),
+t1 AS (SELECT *, sin(phi) AS s FROM p),
+t2 AS (SELECT *, (0.5*ln((1.0+s)/(1.0-s))) - {es}*(0.5*ln((1.0+{es}*s)/(1.0-{es}*s))) AS w FROM t1),
+t3 AS (SELECT *, (exp(w)-exp(-w))/2.0 AS t FROM t2),
+t4 AS (SELECT *, atan2(t, cos(lam)) AS xip,
+       ln( (sin(lam)/sqrt(t*t + cos(lam)*cos(lam)))
+           + sqrt( (sin(lam)/sqrt(t*t + cos(lam)*cos(lam)))
+                 * (sin(lam)/sqrt(t*t + cos(lam)*cos(lam))) + 1.0) ) AS etap FROM t3),
+t5 AS (SELECT *,
+  xip + {a1}*sin(2.0*xip)*((exp(2.0*etap)+exp(-2.0*etap))/2.0)
+      + {a2}*sin(4.0*xip)*((exp(4.0*etap)+exp(-4.0*etap))/2.0)
+      + {a3}*sin(6.0*xip)*((exp(6.0*etap)+exp(-6.0*etap))/2.0)
+      + {a4}*sin(8.0*xip)*((exp(8.0*etap)+exp(-8.0*etap))/2.0) AS xi,
+  etap + {a1}*cos(2.0*xip)*((exp(2.0*etap)-exp(-2.0*etap))/2.0)
+       + {a2}*cos(4.0*xip)*((exp(4.0*etap)-exp(-4.0*etap))/2.0)
+       + {a3}*cos(6.0*xip)*((exp(6.0*etap)-exp(-6.0*etap))/2.0)
+       + {a4}*cos(8.0*xip)*((exp(8.0*etap)-exp(-8.0*etap))/2.0) AS eta FROM t4)
+SELECT c_custkey, cast(zone AS bigint) AS zone,
+  floor((500000.0 + {k0a}*eta)*10.0)/10.0 AS easting,
+  floor(({k0a}*xi)*10.0)/10.0 AS northing
+FROM t5
+"""
+
+
+O_UTM_PROJECT_CUSTOMERS = _o_utm()
+
+
 def q_vocab_topk_docs(spark, sf_dir):
     """Vocabulary statistics (training-data text analysis): top-50
     tokens by document frequency over the corpus — explode whitespace
@@ -1145,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_keys": q_set_ops_keys,
     "distinct_lang_source": q_distinct_lang_source,
     "vocab_topk_docs": q_vocab_topk_docs,
+    "utm_project_customers": q_utm_project_customers,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "asof_login_events": q_asof_login_events,
     "media_image_features": q_media_image_features,
@@ -1183,6 +1250,7 @@ ORACLES: dict[str, str] = {
     "set_ops_keys": O_SET_OPS_KEYS,
     "distinct_lang_source": O_DISTINCT_LANG_SOURCE,
     "vocab_topk_docs": O_VOCAB_TOPK_DOCS,
+    "utm_project_customers": O_UTM_PROJECT_CUSTOMERS,
     "embedding_near_dup_pairs": O_EMBEDDING_NEAR_DUP_PAIRS,
     "asof_login_events": O_ASOF_LOGIN_EVENTS,
     "adaptive_split_docs": O_ADAPTIVE_SPLIT_DOCS,
