@@ -970,6 +970,46 @@ FROM events
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (the classic event-stream op a web-text
+    pipeline needs): per user, a new session starts when the gap from
+    the previous event exceeds 30 minutes — lag + a cumulative sum of
+    session-start flags in ONE window partitioning (one shuffle), then
+    per-session aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+O_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, cast(session_id AS bigint) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_topk_events_per_type(spark, sf_dir):
     """Top-3 by value per event_type (O3 top-k), ties on event_id."""
     ev = _t(spark, sf_dir, "events")
@@ -1207,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": q_simhash_docs,
     "extract_text_invariant": q_extract_text_invariant,
     "window_user_deltas": q_window_user_deltas,
+    "sessionize_events": q_sessionize_events,
     "topk_events_per_type": q_topk_events_per_type,
     "set_ops_keys": q_set_ops_keys,
     "distinct_lang_source": q_distinct_lang_source,
@@ -1246,6 +1287,7 @@ ORACLES: dict[str, str] = {
     "minhash_w1_docs": O_MINHASH_W1_DOCS,
     "embedding_topk": O_EMBEDDING_TOPK,
     "window_user_deltas": O_WINDOW_USER_DELTAS,
+    "sessionize_events": O_SESSIONIZE_EVENTS,
     "topk_events_per_type": O_TOPK_EVENTS_PER_TYPE,
     "set_ops_keys": O_SET_OPS_KEYS,
     "distinct_lang_source": O_DISTINCT_LANG_SOURCE,
