@@ -74,6 +74,8 @@ HEADLINE = [
     "median_across_sources",
     "vocab_topk_docs",
     "embedding_near_dup_pairs",
+    "utm_project_customers",
+    "sessionize_events",
 ]
 
 
