@@ -771,7 +771,13 @@ def knn_join(
     broadcast (count <= broadcast_threshold) the exact brute-force path
     wins outright (measured ~3x at bench scale — the tiled path's guard
     overhead only pays off when data cannot be broadcast); otherwise
-    the distributed tiled path runs. Both are exact."""
+    the distributed tiled path runs. Both are exact.
+
+    Memory budget of the broadcast path: the threshold bounds only the
+    broadcast payload (2M rows x 3 float64 = ~48 MB per executor); the
+    distance matrices are independently capped by KNN_GEMM_BUDGET, so
+    task memory stays bounded regardless of Arrow batch size x data
+    size (the round-1 hazard was a 65k x 2M = ~1 TB matrix)."""
     d_id = kwargs.get("d_id", "id")
     d_lat = kwargs.get("d_lat", "lat")
     d_lon = kwargs.get("d_lon", "lon")
