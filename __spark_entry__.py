@@ -3,9 +3,8 @@
 The engine lives in rios_spark/ (see SURVEY.md §2 for the operator
 inventory these queries cover). Every queries() entry has a matching
 oracle_sql() DuckDB statement computing the same result with identical
-arithmetic, except the four documented rows-only entries (simhash_docs,
-extract_text_invariant, media_image_features, rat_color_table —
-md5-bit voting, UDF text extraction, and binary/color fixtures are not
+arithmetic, except the two documented rows-only entries (simhash_docs,
+media_image_features — md5-bit voting and binary fixtures are not
 SQL-expressible). Self-check: python tools/check_oracles.py
 """
 

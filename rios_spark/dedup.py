@@ -283,6 +283,96 @@ def _hyperplane_keys(mat: np.ndarray, hv: np.ndarray) -> np.ndarray:
     return (signs.astype(np.int64) << np.arange(signs.shape[1])).sum(axis=1)
 
 
+# Per-task similarity-matrix element budget for the exact all-pairs
+# path (same rationale as spatial.KNN_GEMM_BUDGET).
+PAIRS_GEMM_BUDGET = 8_000_000
+
+
+def embedding_all_pairs_exact(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float,
+    block_rows: int = 20_000,
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs at any input size: the O(N^2)
+    verification is tiled over block PAIRS instead of sparsified.
+
+    Rows hash into ceil(N/block_rows) blocks; every unordered block
+    pair (i <= j) is one applyInPandas task holding <= 2*block_rows
+    rows, whose similarity matrix is GEMM-chunked to PAIRS_GEMM_BUDGET
+    elements. Each unordered id pair is computed in EXACTLY one task,
+    so no dedup pass is needed and the result is the full pair set —
+    the guarantee `embedding_near_dup(planes=0)` advertises, which the
+    hot-bucket sparsification cannot honor above max_bucket_rows
+    (round-2 ADVICE). Cost is the honest quadratic: rows shuffle
+    nblocks times and tasks number nblocks*(nblocks+1)/2 — callers
+    wanting subquadratic behavior use the LSH mode (planes > 0)."""
+    import math
+
+    n = df.count()
+    nblocks = max(1, math.ceil(n / max(block_rows, 1)))
+    rows = df.select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
+    ).withColumn("__b", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int"))
+    other = F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("__o")
+    tasked = rows.select("id", "emb", "__b", other).withColumn(
+        "__task",
+        (F.least("__b", "__o") * nblocks + F.greatest("__b", "__o")).cast("long"),
+    )
+
+    def pairs_task(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        task = int(key[0])
+        lo, hi = task // nblocks, task % nblocks
+        if len(pdf) < 2:
+            return _empty_pairs()
+        ids = pdf["id"].to_numpy(np.int64)
+        mat = _norm_mat(pdf)
+        outs = []
+        if lo == hi:
+            step = max(1, PAIRS_GEMM_BUDGET // max(len(pdf), 1))
+            for s in range(0, len(pdf), step):
+                e = min(s + step, len(pdf))
+                sim = mat[s:e] @ mat.T
+                ii, jj = np.nonzero(sim >= threshold)
+                keep = (ii + s) < jj  # strict upper triangle, global idx
+                ii, jj = ii[keep], jj[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id1": np.minimum(ids[ii + s], ids[jj]),
+                            "id2": np.maximum(ids[ii + s], ids[jj]),
+                            "cosine": sim[ii, jj],
+                        }
+                    )
+                )
+        else:
+            a_m = (pdf["__b"].to_numpy() == lo)
+            A, B = mat[a_m], mat[~a_m]
+            ida, idb = ids[a_m], ids[~a_m]
+            if len(A) == 0 or len(B) == 0:
+                return _empty_pairs()
+            step = max(1, PAIRS_GEMM_BUDGET // max(len(B), 1))
+            for s in range(0, len(A), step):
+                e = min(s + step, len(A))
+                sim = A[s:e] @ B.T
+                ii, jj = np.nonzero(sim >= threshold)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id1": np.minimum(ida[ii + s], idb[jj]),
+                            "id2": np.maximum(ida[ii + s], idb[jj]),
+                            "cosine": sim[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return _empty_pairs()
+        return pd.concat(outs, ignore_index=True)
+
+    return tasked.groupBy("__task").applyInPandas(pairs_task, _PAIR_SCHEMA)
+
+
 def embedding_near_dup(
     df: DataFrame,
     emb_col: str,
@@ -316,7 +406,18 @@ def embedding_near_dup(
        what dedup keep-one policies consume — are preserved whenever the
        cluster is transitively linked at `threshold`, which is exactly
        the near-identical case that triggers this path.
+
+    planes=0 is EXACT mode: it bypasses LSH and hot-bucket
+    sparsification entirely and tiles the all-pairs verification over
+    block pairs (embedding_all_pairs_exact) — the full pair set at any
+    input size, at honest quadratic cost (round-2 ADVICE: the old
+    single-bucket path silently went approximate past max_bucket_rows).
     """
+    if planes == 0:
+        return embedding_all_pairs_exact(
+            df, emb_col, id_col, threshold,
+            block_rows=min(max_bucket_rows, 20_000),
+        )
     first = df.select(emb_col).first()
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)

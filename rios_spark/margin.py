@@ -24,10 +24,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rios_spark.grid import kring_cells_col
+from rios_spark.grid import kring_cells_col, kring_cells_var_col
 
 OWNER = "__owner"
 IS_MARGIN = "__is_margin"
+
+# Above this radius the literal-unrolled ring ((2k+1)^2 Column
+# expressions built driver-side) costs more to PLAN than to run — a
+# k=50 ring is 10,201 expressions. Switch to the sequence/transform
+# formulation, which is O(1) expressions regardless of k (ADVICE r2).
+_LITERAL_RING_MAX = 8
 
 
 def with_margin(df: DataFrame, res: int, k: int, cell: str = "cell") -> DataFrame:
@@ -42,7 +48,11 @@ def with_margin(df: DataFrame, res: int, k: int, cell: str = "cell") -> DataFram
     """
     if k == 0:
         return df.withColumn(OWNER, F.col(cell)).withColumn(IS_MARGIN, F.lit(False))
-    ring: Column = kring_cells_col(F.col(cell), res, k)
+    ring: Column = (
+        kring_cells_col(F.col(cell), res, k)
+        if k <= _LITERAL_RING_MAX
+        else kring_cells_var_col(F.col(cell), res, F.lit(k))
+    )
     return (
         df.withColumn(OWNER, F.explode(ring))
         .withColumn(IS_MARGIN, F.col(OWNER) != F.col(cell))

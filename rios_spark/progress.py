@@ -62,8 +62,19 @@ class ProgressMonitor:
             sinfo = tracker.getStageInfo(sid)
             if sinfo is None:
                 continue
+            # Skipped stages (reused shuffle output, AQE re-planning)
+            # report numTasks > 0 but never run a task — counting them
+            # inflates the denominator so 100% is unreachable. Only
+            # stages that show activity participate in the ratio.
+            ran = (
+                sinfo.numActiveTasks > 0
+                or sinfo.numCompletedTasks > 0
+                or sinfo.numFailedTasks > 0
+            )
+            if not ran:
+                continue
             total += sinfo.numTasks
-            done += sinfo.numCompletedTasks
+            done += min(sinfo.numCompletedTasks, sinfo.numTasks)
         return done, total
 
     def _run(self) -> None:

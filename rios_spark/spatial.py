@@ -294,9 +294,13 @@ def zonal_stats(
     Skew handling: stage 1 aggregates by (polygon_id, salt) — a hot
     polygon (continent-sized, or over a dense-host tile) is split
     across `salt` reducers — stage 2 combines the partials. The salt is
-    a deterministic hash of the point's cell, so re-runs are stable.
-    Polygons with zero contained points produce no row (testvector
-    disjoint contract).
+    `spark_partition_id() % salt` — NOT a function of the row, and it
+    varies with input partitioning; the OUTPUT is invariant to it
+    because every stage-1 statistic is algebraic (count/sum/min/max
+    recombine exactly in stage 2). A row-hash salt would send an
+    entire hot cell to one reducer — no split at all. Polygons with
+    zero contained points produce no row (testvector disjoint
+    contract).
     """
     joined = pip_join(points, polygons, res, lat=lat, lon=lon, cell=cell)
     v = F.col(value_col).cast("double")
@@ -335,6 +339,13 @@ def zonal_stats(
 # tasks. Without this cap a 65k-row Arrow batch against a 2M-point data
 # side would materialize a ~1 TB matrix in one task (round-1 VERDICT #4).
 KNN_GEMM_BUDGET = 8_000_000
+
+# Cap for the auto-sized first ring: with_margin duplicates the data
+# side (2r+1)^2-fold, so completeness must never be bought with a huge
+# pass-0 ring on sparse data (r=16 is already a 1089x explode); the
+# adaptive escalation + residual scan resolve the sparse tail exactly
+# (round-2 ADVICE).
+KNN_AUTO_RING_MAX = 16
 
 
 def _block_topk(
@@ -506,6 +517,16 @@ def _rank_and_prove(
     )
 
 
+# Max residue queries broadcast per residual-scan pass. The residue is
+# normally the guard's leftovers (tiny), but adversarial inputs (every
+# query polar/sparse with < k provable candidates, or k > data rows)
+# can make it the WHOLE query side — the driver-memory bound must be a
+# code invariant, not a distribution assumption (round-2 VERDICT #4).
+# Each chunk costs one full data scan, so the fallback degrades
+# gracefully: N_residue/chunk scans, constant driver memory.
+KNN_RESIDUAL_CHUNK = 1_000_000
+
+
 def _knn_residual_scan(
     bad_q: DataFrame,
     data: DataFrame,
@@ -516,17 +537,66 @@ def _knn_residual_scan(
     d_lat: str,
     d_lon: str,
     d_id: str,
+    chunk: int | None = None,
 ) -> DataFrame:
     """Exact distributed brute force for a SMALL query set against an
     arbitrarily large data side: the residue queries are collected and
-    broadcast (bounded — they are the guard's leftovers), the data is
-    scanned ONCE with a per-partition running top-k, and the tiny
-    per-partition partials (n_queries x k x n_partitions rows) merge in
-    a final window. Replaces the round-1 `data.toPandas()` full collect
-    of the by-construction-too-big-to-broadcast side (VERDICT #5)."""
-    spark = bad_q.sparkSession
+    broadcast in chunks of at most `chunk` rows (driver memory bounded
+    by a constant), the data is scanned ONCE PER CHUNK with a
+    per-partition running top-k, and the tiny per-partition partials
+    (n_queries x k x n_partitions rows) merge in a final window.
+    Replaces the round-1 `data.toPandas()` full collect of the
+    by-construction-too-big-to-broadcast side (VERDICT #5); the chunk
+    cap enforces the round-2 VERDICT #4 bound."""
+    chunk = chunk or KNN_RESIDUAL_CHUNK
     key_cols = list(dict.fromkeys([*part_cols, q_lat, q_lon]))
-    qpdf = bad_q.select(*key_cols).toPandas().reset_index(drop=True)
+    parts: list[DataFrame] = []
+    buf: list = []
+    # toLocalIterator streams one partition at a time to the driver —
+    # the driver never holds more than (chunk + one partition) rows
+    for row in bad_q.select(*key_cols).toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= chunk:
+            parts.append(
+                _residual_scan_chunk(
+                    bad_q, data, k, part_cols, key_cols, buf,
+                    q_lat, q_lon, d_lat, d_lon, d_id,
+                )
+            )
+            buf = []
+    if buf:
+        parts.append(
+            _residual_scan_chunk(
+                bad_q, data, k, part_cols, key_cols, buf,
+                q_lat, q_lon, d_lat, d_lon, d_id,
+            )
+        )
+    if not parts:
+        return bad_q.limit(0).withColumns(
+            {
+                "neighbor_id": F.lit(None).cast("long"),
+                "dist_km": F.lit(None).cast("double"),
+                "rank": F.lit(None).cast("int"),
+            }
+        )
+    return _union_all(parts)
+
+
+def _residual_scan_chunk(
+    bad_q: DataFrame,
+    data: DataFrame,
+    k: int,
+    part_cols: list[str],
+    key_cols: list[str],
+    rows: list,
+    q_lat: str,
+    q_lon: str,
+    d_lat: str,
+    d_lon: str,
+    d_id: str,
+) -> DataFrame:
+    spark = bad_q.sparkSession
+    qpdf = pd.DataFrame([r.asDict() for r in rows], columns=key_cols)
     nq = len(qpdf)
     qla = qpdf[q_lat].to_numpy(np.float64)
     qlo = qpdf[q_lon].to_numpy(np.float64)
@@ -631,12 +701,31 @@ def knn_tiled(
     from rios_spark.margin import OWNER, with_margin
 
     if ring == "auto":
-        density = data.count() / float((1 << res) ** 2)
+        n_data = data.count()
+        if k >= n_data:
+            # every query's answer is ALL data rows: no ring can prove
+            # anything and the data side is <= k rows — small by
+            # definition, so the broadcast brute path is the only
+            # sensible plan (ADVICE r2)
+            pdf = data.select(
+                F.col(d_id).alias("id"),
+                F.col(d_lat).alias("lat"),
+                F.col(d_lon).alias("lon"),
+            ).toPandas()
+            return knn_bruteforce(
+                queries, pdf, k, q_lat=q_lat, q_lon=q_lon,
+                d_lat="lat", d_lon="lon", d_id="id",
+            ).withColumn("rank", F.col("rank").cast("int"))
+        density = n_data / float((1 << res) ** 2)
         # target enough expected candidates that the k-th distance sits
-        # well inside the guaranteed coverage radius
+        # well inside the guaranteed coverage radius — but cap at a
+        # small constant: with_margin duplicates the DATA side
+        # (2r+1)^2-fold, so a sparse dataset must NOT buy completeness
+        # with a huge first ring (need*n^2 exploded rows); escalation
+        # and the residual scan handle the tail instead (ADVICE r2)
         need = max(9.0, 4.0 * k)
         width = math.sqrt(need / max(density, 1e-12))
-        ring = max(1, min(int((width - 1) / 2) + 1, max(1, (1 << res) // 4)))
+        ring = max(1, min(int((width - 1) / 2) + 1, KNN_AUTO_RING_MAX))
 
     qcols = queries.columns
     # partition the ranking window by a single unique query id when the
@@ -664,28 +753,52 @@ def knn_tiled(
     bad_keys = (
         ranked.filter(~F.col("__proved"))
         .groupBy(*part_cols)
-        .agg(F.max("__nfound").alias("__nf"), F.max("__kth").alias("__kd"))
+        .agg(
+            F.max("__nfound").alias("__nf"),
+            F.max("__kth").alias("__kd"),
+            F.max(F.lit(int(ring))).alias("__r"),
+        )
+        .persist()
     )
     # counters: observability of which phase resolved how many queries
     # (the RIOS Timers/metrics analogue for this operator); filling them
     # costs one count() of the (persisted) tiny residue frames
     if counters is not None:
-        bad_keys = bad_keys.persist()
         counters["ring0"] = ring
         counters["unproven_pass0"] = bad_keys.count()
-        n_bad0 = counters["unproven_pass0"]
+        n_bad = counters["unproven_pass0"]
     else:
-        n_bad0 = None
-    if (n_bad0 == 0) if n_bad0 is not None else (bad_keys.limit(1).count() == 0):
+        n_bad = bad_keys.limit(1).count()
+    if n_bad == 0:
         return _union_all(outs)
 
     n = 1 << res
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
-    if max_escalations > 0:
-        bad_q = queries.join(F.broadcast(bad_keys), part_cols, "inner")
-        esc = bad_q.filter(
-            (F.col("__nf") >= k) & F.col("__kd").isNotNull()
-        )
+    # residue with no usable distance bound (< k candidates seen) or
+    # already probed at the radius cap goes straight to the final scan
+    esc_pred = (
+        (F.col("__nf") >= k) & F.col("__kd").isNotNull() & (F.col("__r") < max_radius)
+    )
+    residual_parts: list[DataFrame] = []
+    d_plain = data.select(
+        F.col("cell").alias("__probe"),
+        F.col(d_id).alias("neighbor_id"),
+        F.col(d_lat).alias("__dlat"),
+        F.col(d_lon).alias("__dlon"),
+    )
+    # adaptive escalation LOOP (round-2 ADVICE: the parameter now means
+    # what it says). Each round proves the escalatable residue or grows
+    # the radius floor 2x, so progress is guaranteed until max_radius;
+    # the guard re-check keeps every round exact.
+    for i in range(max_escalations):
+        # residue with no usable bound can't escalate — stage it for the
+        # final scan and keep looping on the escalatable part only
+        residual_parts.append(bad_keys.filter(~esc_pred).select(*part_cols))
+        esc_keys = bad_keys.filter(esc_pred)
+        if esc_keys.limit(1).count() == 0:
+            bad_keys = None
+            break
+        esc = queries.join(F.broadcast(esc_keys), part_cols, "inner")
         # kth distance -> ring radius in cells, inverting the guard's
         # exact spherical edge distances in closed form. Because the
         # query point sits INSIDE its own cell, a ring of R cells
@@ -708,18 +821,16 @@ def knn_tiled(
             F.degrees(F.asin(sin_arg))
         )
         r_lon = F.ceil(dlam_deg / F.lit(cell_lon_deg))
+        # the doubling floor (__r * 2) makes re-escalation of a query
+        # whose computed radius was too optimistic strictly wider each
+        # round — no same-radius stall
         radius = F.least(
-            F.greatest(r_lat, r_lon, F.lit(ring)) + 1,
+            F.greatest(r_lat + 1, r_lon + 1, F.col("__r") * 2),
             F.lit(max_radius),
         ).cast("int")
         probe = esc.withColumn("__radius", radius).withColumn(
-            "__probe", F.explode(kring_cells_var_col(F.col("cell"), res, F.col("__radius")))
-        )
-        d_plain = data.select(
-            F.col("cell").alias("__probe"),
-            F.col(d_id).alias("neighbor_id"),
-            F.col(d_lat).alias("__dlat"),
-            F.col(d_lon).alias("__dlon"),
+            "__probe",
+            F.explode(kring_cells_var_col(F.col("cell"), res, F.col("__radius"))),
         )
         cand_r = probe.join(d_plain, "__probe", "left").drop("__probe")
         ranked_r = _rank_and_prove(
@@ -727,24 +838,35 @@ def knn_tiled(
         ).persist()
         outs.append(ranked_r.filter(F.col("__proved")).select(*out_cols))
         bad_keys = (
-            ranked_r.filter(~F.col("__proved")).select(*part_cols).distinct()
-            .unionByName(
-                bad_keys.filter(~((F.col("__nf") >= k) & F.col("__kd").isNotNull()))
-                .select(*part_cols)
+            ranked_r.filter(~F.col("__proved"))
+            .groupBy(*part_cols)
+            .agg(
+                F.max("__nfound").alias("__nf"),
+                F.max("__kth").alias("__kd"),
+                F.max("__radius").alias("__r"),
             )
-            .distinct()
+            .persist()
         )
         if counters is not None:
-            bad_keys = bad_keys.persist()
-            counters["unproven_escalated"] = bad_keys.count()
-            if counters["unproven_escalated"] == 0:
-                return _union_all(outs)
-        elif bad_keys.limit(1).count() == 0:
-            return _union_all(outs)
-
+            counters[f"unproven_escalation_{i}"] = bad_keys.count()
+            n_bad = counters[f"unproven_escalation_{i}"]
+        else:
+            n_bad = bad_keys.limit(1).count()
+        if n_bad == 0:
+            bad_keys = None
+            break
+    if bad_keys is not None:
+        residual_parts.append(bad_keys.select(*part_cols))
+    if not residual_parts:
+        return _union_all(outs)
+    residual_keys = _union_all(residual_parts).distinct()
     if counters is not None:
-        counters["residual_scan"] = bad_keys.count()
-    bad_q = queries.join(F.broadcast(bad_keys), part_cols, "left_semi")
+        counters["residual_scan"] = residual_keys.count()
+        if counters["residual_scan"] == 0:
+            return _union_all(outs)
+    elif residual_keys.limit(1).count() == 0:
+        return _union_all(outs)
+    bad_q = queries.join(F.broadcast(residual_keys), part_cols, "left_semi")
     fixed = _knn_residual_scan(
         bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id
     ).select(*qcols, "neighbor_id", "dist_km", F.col("rank").cast("int").alias("rank"))
@@ -778,16 +900,24 @@ def knn_join(
     distance matrices are independently capped by KNN_GEMM_BUDGET, so
     task memory stays bounded regardless of Arrow batch size x data
     size (the round-1 hazard was a 65k x 2M = ~1 TB matrix)."""
+    from rios_spark.ann import ensure_parallelism
+
     d_id = kwargs.get("d_id", "id")
     d_lat = kwargs.get("d_lat", "lat")
     d_lon = kwargs.get("d_lon", "lon")
     n = data.count()
-    if n <= broadcast_threshold:
+    # k >= n means every query's answer is ALL data rows: the tiled
+    # path's guard can never certify anything (ADVICE r2) — the
+    # broadcast brute path is the only sensible plan, and n <= k is
+    # small by definition
+    if n <= broadcast_threshold or k >= n:
         pdf = data.select(
             F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
         ).toPandas()
+        # a small-SF query table often scans as ONE partition — spread
+        # the Arrow kernel across the cluster (no-op at scale)
         return knn_bruteforce(
-            queries, pdf, k,
+            ensure_parallelism(queries), pdf, k,
             q_lat=kwargs.get("q_lat", "lat"), q_lon=kwargs.get("q_lon", "lon"),
             d_lat="lat", d_lon="lon", d_id="id",
         )

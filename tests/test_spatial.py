@@ -469,8 +469,11 @@ def test_knn_tiled_phase_counters(spark):
         ):
             assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
     assert counters["unproven_pass0"] > 0
-    # escalation resolved some (or all) of the pass-0 residue
-    assert counters["unproven_escalated"] <= counters["unproven_pass0"]
+    # the escalation loop ran and resolved some (or all) of the pass-0
+    # residue; whatever is left went to the (chunked) residual scan
+    assert "unproven_escalation_0" in counters
+    assert counters["unproven_escalation_0"] <= counters["unproven_pass0"]
+    assert counters["residual_scan"] <= counters["unproven_pass0"]
 
 
 def test_knn_tiled_polar_queries_exact(spark):
@@ -494,6 +497,68 @@ def test_knn_tiled_polar_queries_exact(spark):
     )
     want = _brute_oracle(qdf, ddf, 3)
     assert len(got) == 20 * 3
+    for qid, grp in got.groupby("qid"):
+        for (gi, gd), (wi, wd) in zip(
+            zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
+        ):
+            assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_knn_residual_scan_chunked_exact(spark, monkeypatch):
+    """Driver-memory bound of the residual scan is a CODE INVARIANT
+    (r2 VERDICT #4): with the chunk cap forced tiny, an adversarial
+    all-polar query set (nothing provable at ring 0, sparse data)
+    resolves through MULTIPLE residual chunks and stays exact."""
+    res = 5
+    rng = np.random.default_rng(99)
+    # sparse data far from the queries: nothing certifiable quickly
+    ddf = pd.DataFrame(
+        {"id": np.arange(12), "lat": rng.uniform(-30, 30, 12), "lon": rng.uniform(-170, 170, 12)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(25), "lat": rng.uniform(85, 89.9, 25), "lon": rng.uniform(-180, 180, 25)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    monkeypatch.setattr(spatial, "KNN_RESIDUAL_CHUNK", 7)  # forces >= 4 chunks
+    counters = {}
+    got = (
+        spatial.knn_tiled(
+            queries, data, 3, res, d_id="id", q_id="qid",
+            max_escalations=0, counters=counters,
+        )
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    assert counters["residual_scan"] == 25  # the whole query set
+    assert len(got) == 25 * 3
+    want = _brute_oracle(qdf, ddf, 3)
+    for qid, grp in got.groupby("qid"):
+        for (gi, gd), (wi, wd) in zip(
+            zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
+        ):
+            assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_knn_tiled_k_exceeds_data(spark):
+    """k >= n_data short-circuits to the brute path (ADVICE r2): the
+    guard can never certify, so tiled machinery is pure waste — and
+    the result is every data row per query, correctly ranked."""
+    res = 5
+    rng = np.random.default_rng(13)
+    ddf = pd.DataFrame(
+        {"id": np.arange(4), "lat": rng.uniform(-60, 60, 4), "lon": rng.uniform(-170, 170, 4)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(6), "lat": rng.uniform(-60, 60, 6), "lon": rng.uniform(-170, 170, 6)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    got = (
+        spatial.knn_tiled(queries, data, 10, res, d_id="id", q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    assert len(got) == 6 * 4  # kk clamps to n_data
+    want = _brute_oracle(qdf, ddf, 4)
     for qid, grp in got.groupby("qid"):
         for (gi, gd), (wi, wd) in zip(
             zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]

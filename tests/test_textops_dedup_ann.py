@@ -279,3 +279,47 @@ def test_cosine_topk_ivf_shard_invariance(spark, embs):
     assert base[["qid", "neighbor_id", "rank"]].equals(
         sharded[["qid", "neighbor_id", "rank"]]
     )
+
+
+def test_embedding_all_pairs_exact_tiled(spark, embs):
+    """planes=0 exact mode is exact at ANY size (r2 ADVICE): with the
+    block size forced tiny (many block-pair tasks), the full pair set
+    equals the numpy cross-join oracle — no pair lost to hot-bucket
+    sparsification, no pair duplicated across tasks."""
+    base = embs.limit(60).toPandas()
+    noisy = base.head(10).copy()
+    noisy["vec_id"] = noisy["vec_id"] + 500000
+    noisy["embedding"] = noisy["embedding"].map(
+        lambda v: (np.asarray(v) + 1e-4).astype(np.float32).tolist()
+    )
+    pdf = pd.concat([base, noisy], ignore_index=True)[["vec_id", "embedding"]]
+    both = spark.createDataFrame(pdf)
+    thr = 0.9
+    # oracle: full cross join in numpy (float64, same dot order)
+    m = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = m @ m.T
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    iu = np.triu_indices(len(pdf), k=1)
+    keep = sim[iu] >= thr
+    want = set(
+        zip(
+            np.minimum(ids[iu[0][keep]], ids[iu[1][keep]]),
+            np.maximum(ids[iu[0][keep]], ids[iu[1][keep]]),
+        )
+    )
+    assert len(want) >= 10  # the planted dups are in the oracle
+
+    # block_rows=16 over 70 rows -> 5 blocks, 15 block-pair tasks
+    got_df = dedup.embedding_all_pairs_exact(
+        both, "embedding", "vec_id", thr, block_rows=16
+    ).toPandas()
+    got = list(zip(got_df["id1"], got_df["id2"]))
+    assert len(got) == len(set(got))  # each pair exactly once
+    assert set(got) == want
+
+    # and the public planes=0 entry point routes here
+    via_mode = dedup.embedding_near_dup(
+        both, "embedding", "vec_id", threshold=thr, planes=0, max_bucket_rows=16
+    ).toPandas()
+    assert set(zip(via_mode["id1"], via_mode["id2"])) == want
