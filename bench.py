@@ -213,6 +213,15 @@ def main() -> None:
         t0 = time.monotonic()
         _force(fn(spark, SF_DIR))
         qtimes[name] = round(time.monotonic() - t0, 3)
+    # secondary table: every remaining registered query, so each
+    # operator family has a published number (r2 VERDICT #8)
+    stimes: dict[str, float] = {}
+    for name in sorted(set(QUERIES) - set(HEADLINE)):
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        stimes[name] = round(time.monotonic() - t0, 3)
     ann_stats = bench_ann(spark)
     spark.stop()
 
@@ -259,6 +268,7 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "control_alu_efficiency": round(ctl_eff, 3),
         "normalized_efficiency": round(eff / ctl_eff, 3) if ctl_eff > 0 else None,
+        "secondary": stimes,
     }
     _write_baseline_md(result, levels, lo_k, hi_k)
     print(json.dumps(result))
@@ -267,6 +277,7 @@ def main() -> None:
 def _write_baseline_md(result, levels, lo_k, hi_k) -> None:
     os.makedirs("BENCH", exist_ok=True)
     q_rows = "\n".join(f"| {n} | {s:.3f} |" for n, s in result["queries"].items())
+    s_rows = "\n".join(f"| {n} | {s:.3f} |" for n, s in result["secondary"].items())
     md = f"""# BENCH/BASELINE — measured engine performance
 
 ## Scaling gate (BASELINE.json: >= 0.8 efficiency between N and 4N)
@@ -311,13 +322,19 @@ same plan shapes — one shuffle keyed by cell, broadcast dims, salted
 aggregation, AQE — are the standard constructs that scale to
 thousands of executors.
 
-## Headline operator queries at sf{result['sf']} on local[{hi_k}]
+## Headline operator queries at sf{result['sf']} on local[{CPUS}]
 
 | query | wall (s) |
 |---|---|
 {q_rows}
 
 Total: {result['value']:.3f} s
+
+## Secondary queries (every remaining registered query) at sf{result['sf']} on local[{CPUS}]
+
+| query | wall (s) |
+|---|---|
+{s_rows}
 
 ## Similarity search ({result['ann']['n_vectors']:,} vectors, 64-dim, top-10)
 

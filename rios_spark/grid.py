@@ -35,6 +35,7 @@ integer math; swapping in H3/S2 later only changes this module.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -388,6 +389,94 @@ def lonlat_to_utm_cols(
         lat, lon, utm_zone_lon0(zone),
         false_n=_TM_N0_SOUTH if south else 0.0,
     )
+
+
+def closed_form_to_lonlat_cols(
+    x: Column | str, y: Column | str, epsg: int
+) -> tuple[Column, Column] | None:
+    """(lat, lon) expressions for a CRS in the closed-form family
+    (4326, 3857, UTM 326xx/327xx) — or None if the CRS needs the
+    pyproj fallback. Pure codegen'd expressions, zero Python."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    if epsg == 4326:
+        return y, x  # x=lon, y=lat by axis convention
+    if epsg == 3857:
+        return inverse_mercator_cols(x, y)
+    if 32601 <= epsg <= 32660:
+        return utm_to_lonlat_cols(x, y, epsg - 32600, south=False)
+    if 32701 <= epsg <= 32760:
+        return utm_to_lonlat_cols(x, y, epsg - 32700, south=True)
+    return None
+
+
+def _parse_epsg(crs: int | str) -> int | None:
+    if isinstance(crs, int):
+        return crs
+    s = str(crs).strip().upper()
+    if s.startswith("EPSG:"):
+        s = s[5:]
+    return int(s) if s.isdigit() else None
+
+
+def reproject_to_lonlat(
+    df, x_col: str, y_col: str, src_crs: int | str,
+    lat_name: str = "lat", lon_name: str = "lon",
+):
+    """Normalize a source keyed in ANY CRS to WGS84 lat/lon — the
+    arbitrary-CRS ingest operator (SURVEY.md F4; reference behavior:
+    rios/imagereader.py:326-332 warps any GDAL-known CRS;
+    rios/riostests/testreproj.py). Two tiers:
+
+    - closed-form family (EPSG 4326 / 3857 / UTM 326xx-327xx): pure
+      codegen'd column expressions (zero Python, zero shuffle) —
+      Krüger-series accuracy is sub-micrometre, parity-tested against
+      pyproj where available;
+    - anything else: a vectorized Arrow-batched pandas UDF backed by
+      pyproj (one Transformer per worker per CRS, cached). Raises a
+      clear ImportError when pyproj is absent — the closed-form family
+      never needs it.
+    """
+    epsg = _parse_epsg(src_crs)
+    if epsg is not None:
+        closed = closed_form_to_lonlat_cols(x_col, y_col, epsg)
+        if closed is not None:
+            lat, lon = closed
+            return df.withColumn(lat_name, lat).withColumn(lon_name, lon)
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            f"CRS {src_crs!r} is outside the closed-form family "
+            "(EPSG 4326/3857/UTM); install pyproj for the general "
+            "reprojection fallback"
+        ) from exc
+    crs_str = f"EPSG:{epsg}" if epsg is not None else str(src_crs)
+
+    @F.pandas_udf("struct<lat: double, lon: double>")
+    def _tx(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        import pyproj
+
+        tr = _PYPROJ_CACHE.get(crs_str)
+        if tr is None:
+            tr = pyproj.Transformer.from_crs(crs_str, "EPSG:4326", always_xy=True)
+            _PYPROJ_CACHE[crs_str] = tr
+        lon, lat = tr.transform(
+            xs.to_numpy(np.float64), ys.to_numpy(np.float64)
+        )
+        return pd.DataFrame({"lat": lat, "lon": lon})
+
+    out = df.withColumn("__ll", _tx(F.col(x_col), F.col(y_col)))
+    return (
+        out.withColumn(lat_name, F.col("__ll.lat"))
+        .withColumn(lon_name, F.col("__ll.lon"))
+        .drop("__ll")
+    )
+
+
+# per-worker Transformer cache for the pyproj fallback (Transformer
+# construction is ~ms; batches are ~10k rows — amortize it)
+_PYPROJ_CACHE: dict = {}
 
 
 def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:

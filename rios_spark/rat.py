@@ -171,6 +171,26 @@ def add_brewer_colors(
     return df.join(F.broadcast(tdf), value_col, "left")
 
 
+# --- external RAT table source/sink (S15) -------------------------------------
+
+
+def write_rat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a RAT as its own table — the RatZarrHandle analogue
+    (rios/ratapplier.py:283-311 stores RATs in a separate Zarr store on
+    S3/local instead of inside the image; I/O at ratapplier.py:582-584,
+    671-673). Here the external store is simply a parquet table (an
+    Iceberg table at deployment): same decoupling of category metadata
+    from pixel data, with the engine's normal readers."""
+    df.coalesce(1).sortWithinPartitions(df.columns[0]).write.mode(mode).parquet(path)
+
+
+def read_rat(spark, path: str) -> DataFrame:
+    """Read an external RAT table back (the RatZarrHandle read side).
+    Category tables are small by definition — callers broadcast-join
+    them onto pixel/cell frames."""
+    return spark.read.parquet(path)
+
+
 # --- row-count modes (E1) -----------------------------------------------------
 
 RCM_EQUALS_INPUT = "equals_input"

@@ -180,3 +180,79 @@ def test_rat_apply_rcm_modes(spark):
     inc = spark.createDataFrame(pd.DataFrame({"cat": [100, 101], "double": [200, 202]}))
     gr = rat_apply_rcm(df, fn, schema, RCM_INCREMENT, increment=inc).toPandas()
     assert len(gr) == 32 and 101 in set(gr["cat"])
+
+
+def test_external_rat_roundtrip_s15(spark, tmp_path):
+    """S15: a RAT persisted as its OWN table (the RatZarrHandle
+    analogue, rios/ratapplier.py:283-311) round-trips byte-exact, and
+    the read-back table drives a rat_apply + broadcast join onto cell
+    data exactly like an in-image RAT."""
+    path = str(tmp_path / "rat_store")
+    cats = pd.DataFrame(
+        {
+            "cat": np.arange(40, dtype=np.int64),
+            "label": [f"class_{i}" for i in range(40)],
+            "weight": np.linspace(0.5, 2.0, 40),
+        }
+    )
+    rat.write_rat(spark.createDataFrame(cats), path)
+    back = rat.read_rat(spark, path)
+    got = back.toPandas().sort_values("cat").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, cats)
+
+    # the external RAT behaves like any RAT: chunked user fn + join
+    doubled = rat.rat_apply(
+        back, lambda c: pd.DataFrame({"cat": c["cat"], "w2": c["weight"] * 2}),
+        "cat long, w2 double",
+    )
+    pixels = spark.createDataFrame(
+        pd.DataFrame({"pix": np.arange(200), "cat": np.arange(200) % 40})
+    )
+    joined = pixels.join(F.broadcast(doubled), "cat").toPandas()
+    assert len(joined) == 200
+    assert np.allclose(
+        joined.sort_values("pix")["w2"].to_numpy(),
+        (cats["weight"].to_numpy() * 2)[np.arange(200) % 40],
+    )
+
+    # update-in-place: write mode mirrors setCreationOptions hygiene
+    rat.write_rat(spark.createDataFrame(cats.assign(weight=1.0)), path)
+    assert rat.read_rat(spark, path).toPandas()["weight"].eq(1.0).all()
+
+
+def test_cmdline_calcstats_printstats(spark, tmp_path, capsys):
+    """Console entry points (reference: rioscalcstats/riosprintstats,
+    rios/cmdline/rioscalcstats.py:31-60): calcstats persists to the
+    store, printstats reads it back without rescanning the data;
+    --ignore excludes the nodata value like the reference flag."""
+    from rios_spark import cmdline
+
+    tbl = str(tmp_path / "tbl")
+    store = str(tmp_path / "store")
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, -999.0, 4.0], "k": [1, 2, 3, 4, 5]})
+    spark.createDataFrame(pdf).write.parquet(tbl)
+
+    rc = cmdline.calcstats_main(
+        [tbl, "--store", store, "--columns", "v", "--ignore", "-999",
+         "--snapshot", "s1", "--master", "local[4]"]
+    )
+    assert rc == 0
+    got = stats.read_stats(spark, store, table=tbl, column="v").collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["count"] == 4 and r["minval"] == 1.0 and r["maxval"] == 4.0
+
+    # second snapshot; --latest keeps only s2
+    cmdline.calcstats_main(
+        [tbl, "--store", store, "--columns", "v", "--snapshot", "s2",
+         "--master", "local[4]"]
+    )
+    latest = stats.read_stats(spark, store, table=tbl, column="v", latest=True).collect()
+    assert len(latest) == 1 and latest[0]["snapshot"] == "s2"
+    assert latest[0]["count"] == 5  # no --ignore on the second run
+
+    capsys.readouterr()
+    rc = cmdline.printstats_main([store, "--table", tbl, "--latest", "--master", "local[4]"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "@s2" in out and "count=5" in out

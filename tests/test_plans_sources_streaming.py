@@ -305,3 +305,53 @@ def test_stream_zonal_counts_matches_batch(spark, tmp_path):
     g = got.set_index(["win_start", "polygon_id"])["n_pages"].sort_index()
     w = want.set_index(["win_start", "polygon_id"])["n_pages"].sort_index()
     assert len(g) and g.equals(w)
+
+
+def test_stream_dedup_ttl_evicts_state(spark, tmp_path):
+    """TTL-bounded streaming dedup (r2 VERDICT #5): a key with no
+    arrival within ttl_ms is EVICTED between micro-batches, so the same
+    content re-emits after expiry — and the state store stays bounded
+    by the active window instead of growing with all-time distinct
+    content."""
+    import time
+
+    import pandas as pd
+
+    from rios_spark.streaming import stream_dedup_exact
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    mk = lambda pid, text: pd.DataFrame({"page_id": [pid], "text": [text]})  # noqa: E731
+    # three files -> three micro-batches (maxFilesPerTrigger=1),
+    # ordered by mtime; the sleeps guarantee distinct ordering and that
+    # the 1 ms TTL has lapsed between batch 1 and batch 2
+    mk(1, "alpha").to_parquet(src / "f1.parquet")
+    time.sleep(0.3)
+    mk(2, "beta").to_parquet(src / "f2.parquet")
+    time.sleep(0.3)
+    mk(3, "alpha").to_parquet(src / "f3.parquet")
+
+    stream = (
+        spark.readStream.schema("page_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream, "text", "page_id", ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("dd_ttl_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # with pending processing-time timeouts the availableNow query can
+    # keep scheduling timeout-only batches — poll the sink, then stop
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select * from dd_ttl_test").count() >= 3:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("select * from dd_ttl_test").toPandas()
+    # alpha emitted TWICE (state evicted after the TTL), beta once
+    assert sorted(got["page_id"]) == [1, 2, 3]
