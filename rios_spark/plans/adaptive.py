@@ -79,7 +79,16 @@ def adaptive_split(
     """Return df with `cell` re-indexed at finer resolutions wherever a
     cell holds more than max_rows rows. Deterministic: the split
     decision is a pure function of the per-cell counts, so the same
-    data yields the same final cells under any partitioning."""
+    data yields the same final cells under any partitioning.
+
+    Driver-memory bound (documented per r2 VERDICT #7): the two
+    toPandas() collects below hold per-CELL counts, never rows —
+    bounded by 4^res base cells for the first and by
+    |hot cells| * 4^max_levels (<= 256x the hot count at the default
+    +4 levels) for the second. At the engine's working resolutions
+    (res <= 8 -> <= 65k base cells) both are a few MB. If base
+    resolutions ever grow past ~10, move the quadtree decision into a
+    distributed agg over (parent, level) keys instead."""
     spark = df.sparkSession
     finest = res + max_levels
 

@@ -869,6 +869,53 @@ def _o_minhash() -> str:
 O_MINHASH_W1_DOCS = _o_minhash()
 
 
+def q_ngram_jaccard_docs(spark, sf_dir):
+    """Exact 3-word-shingle jaccard for every pair among the first 40
+    documents — the dedup verify stage (dedup.ngram_jaccard_pairs) made
+    oracle-checkable: jaccard is a ratio of exact set counts, so both
+    engines produce bit-identical doubles."""
+    from rios_spark import dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    a = docs.select(F.col("doc_id").alias("id1"))
+    b = docs.select(F.col("doc_id").alias("id2"))
+    cands = a.join(b, F.col("id1") < F.col("id2"))
+    return dedup.ngram_jaccard_pairs(docs, cands, "text", "doc_id", w=3, threshold=0.0)
+
+
+O_NGRAM_JACCARD_DOCS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM d WHERE len(w) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+  FROM d WHERE len(w) > 0 AND len(w) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT s1.doc_id AS id1, s2.doc_id AS id2, count(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id1, p.id2,
+       CASE WHEN (n1.n + n2.n - coalesce(i.i, 0)) = 0 THEN 1.0
+            ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (n1.n + n2.n - coalesce(i.i, 0)) END AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON p.id1 = i.id1 AND p.id2 = i.id2
+JOIN sizes n1 ON n1.doc_id = p.id1
+JOIN sizes n2 ON n2.doc_id = p.id2
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """Exact cosine top-5 for the first 20 vectors (exact ANN
     baseline); ranks only — cosine values are fp-order-dependent.
@@ -1277,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_scores": q_doc_lang_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_w1_docs": q_minhash_w1_docs,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "embedding_topk": q_embedding_topk,
     "simhash_docs": q_simhash_docs,
     "extract_text_invariant": q_extract_text_invariant,
@@ -1319,6 +1367,7 @@ ORACLES: dict[str, str] = {
     "doc_lang_scores": O_DOC_LANG_SCORES,
     "exact_dedup_docs": O_EXACT_DEDUP_DOCS,
     "minhash_w1_docs": O_MINHASH_W1_DOCS,
+    "ngram_jaccard_docs": O_NGRAM_JACCARD_DOCS,
     "embedding_topk": O_EMBEDDING_TOPK,
     "window_user_deltas": O_WINDOW_USER_DELTAS,
     "sessionize_events": O_SESSIONIZE_EVENTS,
