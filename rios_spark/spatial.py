@@ -681,10 +681,15 @@ def knn_tiled(
     certifies it — one variable-radius pass (per-row k-ring explode on
     the QUERY side: the residue is the small side, so the (2r+1)^2
     duplication lands on it, not on the data) proves nearly all of the
-    residue at once. Anything still unproven (including < k found)
-    finishes in a single distributed data scan with the residue
-    queries broadcast (_knn_residual_scan). The data side is NEVER
-    collected.
+    residue at once. Escalation is a true LOOP of up to max_escalations
+    rounds with a doubling radius floor; in exact arithmetic the radius
+    inversion certifies every escalatable query in ONE round, so later
+    rounds are a floating-point-edge safety net, and a query whose
+    radius hits the wrap-safe cap goes to the scan instead of looping.
+    Anything still unproven (including < k found) finishes in
+    distributed data scans with the residue queries broadcast in
+    bounded chunks (_knn_residual_scan, <= KNN_RESIDUAL_CHUNK rows on
+    the driver per pass). The data side is NEVER collected.
 
     ring="auto" sizes the first ring from the data density so the
     first pass can actually PROVE most top-k sets: a ring-1 pass

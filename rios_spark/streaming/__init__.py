@@ -86,6 +86,102 @@ def stream_zonal_counts(
     )
 
 
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful streaming face
+    of the batch `q_sessionize_events` (lag + cumulative-sum window):
+    per user, a session closes when no event arrives within `gap_s`
+    seconds of its last event. State = the OPEN session (start,
+    last_ts, n_events) per user; an EventTimeTimeout fires once the
+    watermark passes last_ts + gap, emitting the closed session and
+    evicting the state — so state is bounded by concurrently-open
+    sessions, not by all-time users.
+
+    Emits one row per CLOSED session: (user, session_start,
+    session_end, n_events). Sessions only close when the watermark
+    proves no in-gap event can still arrive — identical session
+    boundaries to the batch op for any event order within the
+    watermark (late data beyond it is dropped by Spark upstream).
+    """
+    hashed = events_stream.withWatermark(ts_col, watermark)
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.TimestampType()),
+            T.StructField("last", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def sess_fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        user = key[0]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    user_col: [user],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [int(n)],
+                }
+            )
+            return
+        ts_all = _pd.concat([p[ts_col] for p in pdfs]).sort_values().reset_index(drop=True)
+        if len(ts_all) == 0:
+            return
+        if state.exists:
+            start, last, n = state.get
+            start = _pd.Timestamp(start)
+            last = _pd.Timestamp(last)
+            n = int(n)
+        else:
+            start = last = ts_all.iloc[0]
+            n = 1
+            ts_all = ts_all.iloc[1:]
+        closed = {user_col: [], "session_start": [], "session_end": [], "n_events": []}
+        for t in ts_all:
+            if (t - last).total_seconds() > gap_s:
+                closed[user_col].append(user)
+                closed["session_start"].append(start)
+                closed["session_end"].append(last)
+                closed["n_events"].append(n)
+                start, n = t, 0
+            last, n = t, n + 1
+        state.update((start.to_pydatetime(), last.to_pydatetime(), n))
+        # close once the watermark passes the gap after the last event
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
+        if closed[user_col]:
+            yield _pd.DataFrame(closed)
+
+    return (
+        hashed.groupBy(user_col)
+        .applyInPandasWithState(
+            sess_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_dedup_exact(
     pages_stream: DataFrame,
     text_col: str = "text",

@@ -355,3 +355,90 @@ def test_stream_dedup_ttl_evicts_state(spark, tmp_path):
     got = spark.sql("select * from dd_ttl_test").toPandas()
     # alpha emitted TWICE (state evicted after the TTL), beta once
     assert sorted(got["page_id"]) == [1, 2, 3]
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming sessionization (stateful, event-time timeouts) emits
+    the SAME session boundaries as the batch lag+cumsum op. Sessions
+    interrupted by a later event (in-batch or cross-batch) must be
+    emitted exactly once; each user's final session closes only via
+    watermark timeout, so it may legitimately still be open."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from rios_spark.streaming import stream_sessionize
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for user in range(6):
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 30)))
+        for _ in range(40):
+            # mixture of in-gap (<=30min) steps and session breaks
+            step = int(rng.choice([60, 300, 900, 2400, 7200]))
+            t = t + pd.Timedelta(seconds=step)
+            rows.append((user, t))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"]).sample(
+        frac=1.0, random_state=3
+    )  # shuffle arrival order within files
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    half = len(ev) // 2
+    # parquet for Spark needs micro (not nano) timestamps
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    # split by time so the watermark advances monotonically per batch
+    ev_sorted = ev.sort_values("ts")
+    ev_sorted.iloc[:half].to_parquet(src / "f1.parquet")
+    time.sleep(0.2)
+    ev_sorted.iloc[half:].to_parquet(src / "f2.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_s=1800, watermark="1 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # batch oracle (pandas): per-user sorted, break on gap > 1800s
+    want = []
+    for user, grp in ev.groupby("user_id"):
+        ts = grp["ts"].sort_values().reset_index(drop=True)
+        start = last = ts.iloc[0]
+        n = 1
+        for t in ts.iloc[1:]:
+            if (t - last).total_seconds() > 1800:
+                want.append((user, start, last, n))
+                start, n = t, 0
+            last, n = t, n + 1
+        want.append((user, start, last, n))  # final (may stay open)
+    want_df = pd.DataFrame(
+        want, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+    finals = want_df.groupby("user_id")["session_start"].transform("max")
+    non_final = want_df[want_df["session_start"] != finals]
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select * from sess_test").count() >= len(non_final):
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("select * from sess_test").toPandas()
+
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    got_set = set(map(tuple, got[key].itertuples(index=False)))
+    assert len(got_set) == len(got), "a session was emitted twice"
+    want_all = set(map(tuple, want_df[key].itertuples(index=False)))
+    want_non_final = set(map(tuple, non_final[key].itertuples(index=False)))
+    # every interrupted session emitted exactly once with exact bounds
+    assert want_non_final <= got_set
+    # nothing emitted that the batch op doesn't produce
+    assert got_set <= want_all
