@@ -192,6 +192,146 @@ def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndar
     return centroids
 
 
+def ivf_build_index(
+    data: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    list_shards: int = 4,
+    sample_rows: int = 10000,
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Build a PERSISTED IVF index: train centroids on a sample
+    (driver-side deterministic k-means), assign every vector to its
+    nearest centroid list (one distributed map), and write two parquet
+    tables under `path` — `centroids/` (tiny) and `assigned/`
+    PARTITIONED BY list_id so a search's probe set prunes to the
+    probed lists' files only. This is the production shape: the O(N)
+    assignment scan is paid once per corpus snapshot, not per query
+    batch (cosine_topk_ivf retrains per call — right for ad-hoc use,
+    wrong for a serving path). At deployment the two tables are Iceberg
+    and a rebuild is a snapshot swap."""
+    spark = data.sparkSession
+    n_total = data.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample = data.select(d_emb).sample(fraction=frac, seed=seed).limit(sample_rows).toPandas()
+    if len(sample) == 0:
+        sample = data.select(d_emb).limit(sample_rows).toPandas()
+    smat = _normalize(np.stack(sample[d_emb].map(np.asarray).to_list()).astype(np.float64))
+    centroids = _kmeans(smat, n_centroids, seed=seed)
+    cen_pdf = pd.DataFrame(
+        {
+            "centroid_id": np.arange(len(centroids), dtype=np.int32),
+            "vec": [c.astype(float).tolist() for c in centroids],
+        }
+    )
+    spark.createDataFrame(cen_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    bc = spark.sparkContext.broadcast(centroids)
+    shards = max(1, int(list_shards))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
+            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
+            yield pd.DataFrame(
+                {"list_id": lists * shards + shard, d_id: pdf[d_id], d_emb: pdf[d_emb]}
+            )
+
+    assigned = data.select(d_id, d_emb).mapInPandas(
+        assign, f"list_id int, {d_id} long, {d_emb} array<float>"
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/assigned")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    q_id: str = "qid",
+    q_emb: str = "embedding",
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (ivf_build_index). The probe set is
+    collected driver-side (|queries| x nprobe distinct list ids — tiny)
+    and pushed as a PARTITION FILTER on the assigned table, so the scan
+    touches only the probed lists' files; scoring is the same cogrouped
+    GEMM + global top-k window as cosine_topk_ivf. nprobe == n_centroids
+    is exact."""
+    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
+    centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
+    assigned = spark.read.parquet(f"{path}/assigned")
+    # shards per list = total lists / centroids (schema carries no meta;
+    # list_id = centroid_id * shards + shard by construction)
+    n_lists = assigned.select(F.max("list_id")).first()[0] + 1
+    shards = max(1, n_lists // len(centroids))
+    bc = spark.sparkContext.broadcast(centroids)
+    np_eff = min(nprobe, len(centroids))
+
+    def assign_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen = bc.value
+        shard_ids = np.arange(shards, dtype=np.int32)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
+            sims = mat @ cen.T
+            probes = np.argsort(-sims, axis=1)[:, :np_eff].astype(np.int32)
+            all_lists = (probes[:, :, None] * shards + shard_ids[None, None, :]).reshape(
+                len(pdf), -1
+            )
+            rep = pdf.loc[pdf.index.repeat(np_eff * shards)].reset_index(drop=True)
+            rep["list_id"] = all_lists.ravel()
+            yield rep[[q_id, q_emb, "list_id"]]
+
+    probed = queries.select(q_id, q_emb).mapInPandas(
+        assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
+    ).persist()
+    # static partition pruning: the distinct probed lists are bounded by
+    # n_centroids * shards — push them into the read as a filter
+    probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
+    pruned = assigned.filter(F.col("list_id").isin(probe_ids))
+
+    def score(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(dpdf) == 0:
+            return pd.DataFrame({q_id: [], "neighbor_id": [], "cosine": []}).astype(
+                {q_id: np.int64, "neighbor_id": np.int64, "cosine": np.float64}
+            )
+        qm = _normalize(np.stack(qpdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
+        dm = _normalize(np.stack(dpdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+        ids, ssel = _topk_cosine(qm, dm, dpdf[d_id].to_numpy(np.int64), k)
+        kk = ids.shape[1]
+        return pd.DataFrame(
+            {
+                q_id: qpdf[q_id].to_numpy().repeat(kk),
+                "neighbor_id": ids.ravel(),
+                "cosine": ssel.ravel(),
+            }
+        )
+
+    partial = (
+        probed.groupBy("list_id")
+        .cogroup(pruned.groupBy("list_id"))
+        .applyInPandas(lambda q, d: score(q, d), f"{q_id} long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     data: DataFrame,

@@ -323,3 +323,36 @@ def test_embedding_all_pairs_exact_tiled(spark, embs):
         both, "embedding", "vec_id", threshold=thr, planes=0, max_bucket_rows=16
     ).toPandas()
     assert set(zip(via_mode["id1"], via_mode["id2"])) == want
+
+
+def test_ivf_persisted_index_search(spark, embs, tmp_path):
+    """Persisted IVF index (build once / search many): nprobe == all
+    lists is EXACT vs the brute oracle; a small nprobe prunes the
+    assigned-table scan to the probed list partitions (the filter
+    reaches the parquet read), with high recall on this fixture."""
+    path = str(tmp_path / "ivf_index")
+    ann.ivf_build_index(embs, path, n_centroids=8, list_shards=2, seed=42)
+
+    pdf = embs.toPandas()
+    qdf = pdf.head(15)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+
+    # exact mode: probe everything
+    got = (
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
+
+    # pruned mode: partition filter reaches the scan and recall is high
+    df2 = ann.ivf_search(spark, path, queries, 5, nprobe=4, q_id="qid")
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan and ("PartitionFilters: [" in plan)
+    got2 = df2.toPandas()
+    hits = sum(
+        len(set(g["neighbor_id"]) & set(want[int(q)]))
+        for q, g in got2.groupby("qid")
+    )
+    assert hits / (5 * len(qdf)) >= 0.8
