@@ -765,18 +765,6 @@ def knn_tiled(
         )
         .persist()
     )
-    # counters: observability of which phase resolved how many queries
-    # (the RIOS Timers/metrics analogue for this operator); filling them
-    # costs one count() of the (persisted) tiny residue frames
-    if counters is not None:
-        counters["ring0"] = ring
-        counters["unproven_pass0"] = bad_keys.count()
-        n_bad = counters["unproven_pass0"]
-    else:
-        n_bad = bad_keys.limit(1).count()
-    if n_bad == 0:
-        return _union_all(outs)
-
     n = 1 << res
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
     # residue with no usable distance bound (< k candidates seen) or
@@ -784,6 +772,25 @@ def knn_tiled(
     esc_pred = (
         (F.col("__nf") >= k) & F.col("__kd").isNotNull() & (F.col("__r") < max_radius)
     )
+
+    # one agg = one job per phase for BOTH control decisions (is the
+    # residue empty? is any of it escalatable?) — the phase counters
+    # (the RIOS Timers/metrics analogue) come from the same row free
+    def _residue_stats(bk: DataFrame) -> tuple[int, int]:
+        row = bk.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(esc_pred.cast("int")), F.lit(0)).alias("ne"),
+        ).first()
+        return int(row["n"]), int(row["ne"])
+
+    n_bad, n_esc = _residue_stats(bad_keys)
+    if counters is not None:
+        counters["ring0"] = ring
+        counters["unproven_pass0"] = n_bad
+    if n_bad == 0:
+        return _union_all(outs)
+
+    n_residual = 0
     residual_parts: list[DataFrame] = []
     d_plain = data.select(
         F.col("cell").alias("__probe"),
@@ -799,11 +806,11 @@ def knn_tiled(
         # residue with no usable bound can't escalate — stage it for the
         # final scan and keep looping on the escalatable part only
         residual_parts.append(bad_keys.filter(~esc_pred).select(*part_cols))
-        esc_keys = bad_keys.filter(esc_pred)
-        if esc_keys.limit(1).count() == 0:
+        n_residual += n_bad - n_esc
+        if n_esc == 0:
             bad_keys = None
             break
-        esc = queries.join(F.broadcast(esc_keys), part_cols, "inner")
+        esc = queries.join(F.broadcast(bad_keys.filter(esc_pred)), part_cols, "inner")
         # kth distance -> ring radius in cells, inverting the guard's
         # exact spherical edge distances in closed form. Because the
         # query point sits INSIDE its own cell, a ring of R cells
@@ -852,25 +859,22 @@ def knn_tiled(
             )
             .persist()
         )
+        n_bad, n_esc = _residue_stats(bad_keys)
         if counters is not None:
-            counters[f"unproven_escalation_{i}"] = bad_keys.count()
-            n_bad = counters[f"unproven_escalation_{i}"]
-        else:
-            n_bad = bad_keys.limit(1).count()
+            counters[f"unproven_escalation_{i}"] = n_bad
         if n_bad == 0:
             bad_keys = None
             break
     if bad_keys is not None:
         residual_parts.append(bad_keys.select(*part_cols))
-    if not residual_parts:
+        n_residual += n_bad
+    # a key either escalates or is staged for the scan exactly once, so
+    # the arithmetic total IS the residual count — no extra job
+    if counters is not None:
+        counters["residual_scan"] = n_residual
+    if n_residual == 0:
         return _union_all(outs)
     residual_keys = _union_all(residual_parts).distinct()
-    if counters is not None:
-        counters["residual_scan"] = residual_keys.count()
-        if counters["residual_scan"] == 0:
-            return _union_all(outs)
-    elif residual_keys.limit(1).count() == 0:
-        return _union_all(outs)
     bad_q = queries.join(F.broadcast(residual_keys), part_cols, "left_semi")
     fixed = _knn_residual_scan(
         bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id
