@@ -1,0 +1,78 @@
+"""Example cluster job: build a persisted IVF index over an embedding
+table, then serve a query batch against it with partition-pruned
+search (ann.ivf_build_index / ann.ivf_search).
+
+Run (cluster):
+  tools/make_package.sh
+  spark-submit --master yarn --deploy-mode cluster \
+      --py-files dist/rios_spark.zip \
+      examples/ann_index_job.py --vectors s3://bucket/embeddings \
+      --index s3://bucket/ivf_index --k 10 --nprobe 16
+
+Run (local smoke):
+  python examples/ann_index_job.py --n-vectors 50000 --index /tmp/ivf_idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vectors", default=None, help="embeddings parquet (default: synthesize)")
+    ap.add_argument("--n-vectors", type=int, default=50_000)
+    ap.add_argument("--index", required=True, help="index output path")
+    ap.add_argument("--n-centroids", type=int, default=64)
+    ap.add_argument("--list-shards", type=int, default=4)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--n-queries", type=int, default=200)
+    ap.add_argument("--skip-build", action="store_true", help="reuse an existing index")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from rios_spark import ann
+    from rios_spark.session import get_spark
+
+    spark = get_spark("ann_index_job")
+    if args.vectors:
+        vecs = spark.read.parquet(args.vectors)
+    else:
+        from rios_spark.datagen import gen_embeddings_spark
+
+        vecs = gen_embeddings_spark(spark, args.n_vectors)
+
+    if not args.skip_build:
+        t0 = time.monotonic()
+        ann.ivf_build_index(
+            vecs, args.index,
+            n_centroids=args.n_centroids, list_shards=args.list_shards,
+        )
+        print(json.dumps({"built_sec": round(time.monotonic() - t0, 2)}))
+
+    queries = (
+        vecs.filter(F.col("vec_id") < args.n_queries)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    t0 = time.monotonic()
+    out = ann.ivf_search(spark, args.index, queries, args.k, nprobe=args.nprobe)
+    n = out.count()
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "result_rows": n,
+        "search_sec": round(wall, 2),
+        "qps": round(args.n_queries / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
