@@ -247,7 +247,13 @@ def ivf_build_index(
     assigned = data.select(d_id, d_emb).mapInPandas(
         assign, f"list_id int, {d_id} long, {d_emb} array<float>"
     )
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/assigned")
+    # cluster by list BEFORE the partitioned write: without this every
+    # (input task x list) pair emits its own tiny file — up to
+    # tasks*lists files whose open/footer overhead dominates search
+    # scans. One shuffle at build time buys one file per list dir.
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/assigned")
 
 
 def ivf_search(
