@@ -244,10 +244,11 @@ def main() -> None:
 
     lo_k, hi_k = SCALE_LO, SCALE_HI
     levels = {}
-    # interleaved 2x per level (separate JVMs), best-of per level —
-    # the host's vCPU contention drifts over minutes; one full-width
-    # run records peak throughput
-    for k in (lo_k, hi_k, lo_k, hi_k, CPUS):
+    # interleaved 3x per level (separate JVMs), best-of per level —
+    # the host's vCPU contention drifts over minutes and an unlucky
+    # draw at either level skews the ratio (observed 0.80-0.90 spread
+    # across best-of-2 runs); one full-width run records peak
+    for k in (lo_k, hi_k, lo_k, hi_k, lo_k, hi_k, CPUS):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pages-worker", str(k)],
             capture_output=True, text=True, check=True,

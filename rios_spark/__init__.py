@@ -25,11 +25,16 @@ spatial   point-in-polygon join, zonal aggregation (salted), kNN join
 textops   deterministic html→text extraction, language id, quality
           scoring, token counts, fingerprints
 dedup     exact / minhash-LSH / simhash / n-gram-jaccard / embedding
-          near-duplicate detection
-ann       approximate nearest neighbour over embedding columns
+          near-duplicate detection (LSH scale path + tiled exact mode)
+ann       cosine top-k: exact brute, IVF, auto-dispatch, and a
+          persisted partition-pruned IVF index (build once / search many)
+streaming watermarked windowed aggs, stateful dedup (TTL-evicted) and
+          gap sessionization (event-time state)
+rat       category tables: chunk apply, color ramps, external RAT store
+cmdline   rios_spark_calcstats / rios_spark_printstats console scripts
 manifest  per-partition lineage + metrics manifest, resume scheduling
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from rios_spark.session import get_spark  # noqa: F401
