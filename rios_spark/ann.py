@@ -454,3 +454,223 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(q_id, "neighbor_id", "cosine", "rank")
     )
+
+
+# --- IVF-PQ: product-quantized compressed index (the 100-TB memory path) ------
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain Euclidean Lloyd k-means (PQ sub-vectors are NOT unit-norm,
+    so the cosine k-means used for coarse centroids doesn't apply)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    cen = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cen[c] = mat[m].mean(axis=0)
+    return cen
+
+
+def _pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, m) uint8 codes; codebooks shape (m, ksub, dsub)."""
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((len(mat), m), np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def ivf_pq_build_index(
+    data: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    list_shards: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    sample_rows: int = 10000,
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Build a COMPRESSED IVF-PQ index: coarse IVF lists as in
+    ivf_build_index, but each vector is stored as m uint8 codes
+    (product quantization: the d dims split into m subspaces, each
+    sub-vector snapped to its nearest of ksub trained sub-centroids) —
+    64 float32 dims become 8 bytes, a 32x shrink. At 100 TB the float
+    embeddings don't fit hot storage; the PQ codes do, and search
+    scores candidates from the codes alone (ADC — asymmetric distance
+    computation), never touching the originals. Recall is bounded by
+    quantization distortion; raise m / probe more lists / exact-rerank
+    a candidate superset from cold storage to recover it."""
+    spark = data.sparkSession
+    first = data.select(d_emb).first()
+    d = len(first[d_emb])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    n_total = data.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample = data.select(d_emb).sample(fraction=frac, seed=seed).limit(sample_rows).toPandas()
+    if len(sample) == 0:
+        sample = data.select(d_emb).limit(sample_rows).toPandas()
+    smat = _normalize(np.stack(sample[d_emb].map(np.asarray).to_list()).astype(np.float64))
+    coarse = _kmeans(smat, n_centroids, seed=seed)
+    dsub = d // m
+    codebooks = np.stack(
+        [
+            _kmeans_l2(smat[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j)
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub); ksub may clamp to sample size
+
+    cen_pdf = pd.DataFrame(
+        {
+            "centroid_id": np.arange(len(coarse), dtype=np.int32),
+            "vec": [c.astype(float).tolist() for c in coarse],
+        }
+    )
+    spark.createDataFrame(cen_pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    cb_rows = [
+        (int(j), int(e), codebooks[j, e].astype(float).tolist())
+        for j in range(codebooks.shape[0])
+        for e in range(codebooks.shape[1])
+    ]
+    spark.createDataFrame(cb_rows, "m_idx int, entry int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    bc = spark.sparkContext.broadcast((coarse, codebooks))
+    shards = max(1, int(list_shards))
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen, cbs = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
+            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
+            codes = _pq_encode(mat, cbs)
+            yield pd.DataFrame(
+                {
+                    "list_id": lists * shards + shard,
+                    d_id: pdf[d_id],
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    codes_df = data.select(d_id, d_emb).mapInPandas(
+        encode, f"list_id int, {d_id} long, code binary"
+    )
+    codes_df.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+
+
+def ivf_pq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    q_id: str = "qid",
+    q_emb: str = "embedding",
+    d_id: str = "vec_id",
+) -> DataFrame:
+    """Search an IVF-PQ index by ADC: per query build a (m, ksub)
+    lookup table of sub-inner-products against the codebooks, then each
+    candidate's score is m table lookups summed — no float vectors are
+    read at all (the codes table is the only scan, partition-pruned to
+    the probed lists). Approximate by construction; rank is by
+    quantized inner product with (score desc, id) tie-break."""
+    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
+    coarse = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
+    cb_pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
+    m = int(cb_pdf["m_idx"].max()) + 1
+    ksub = int(cb_pdf["entry"].max()) + 1
+    dsub = len(cb_pdf["vec"].iloc[0])
+    codebooks = np.zeros((m, ksub, dsub), np.float64)
+    for _, r in cb_pdf.iterrows():
+        codebooks[int(r["m_idx"]), int(r["entry"])] = np.asarray(r["vec"])
+    codes = spark.read.parquet(f"{path}/codes")
+    n_lists = codes.select(F.max("list_id")).first()[0] + 1
+    shards = max(1, n_lists // len(coarse))
+    bc = spark.sparkContext.broadcast((coarse, codebooks))
+    np_eff = min(nprobe, len(coarse))
+
+    def assign_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen, _ = bc.value
+        shard_ids = np.arange(shards, dtype=np.int32)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
+            sims = mat @ cen.T
+            probes = np.argsort(-sims, axis=1)[:, :np_eff].astype(np.int32)
+            all_lists = (probes[:, :, None] * shards + shard_ids[None, None, :]).reshape(
+                len(pdf), -1
+            )
+            rep = pdf.loc[pdf.index.repeat(np_eff * shards)].reset_index(drop=True)
+            rep["list_id"] = all_lists.ravel()
+            yield rep[[q_id, q_emb, "list_id"]]
+
+    probed = queries.select(q_id, q_emb).mapInPandas(
+        assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
+    ).persist()
+    probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
+    pruned = codes.filter(F.col("list_id").isin(probe_ids))
+
+    def score(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(dpdf) == 0:
+            return pd.DataFrame({q_id: [], "neighbor_id": [], "score": []}).astype(
+                {q_id: np.int64, "neighbor_id": np.int64, "score": np.float64}
+            )
+        _, cbs = bc.value
+        mm = cbs.shape[0]
+        qm = _normalize(np.stack(qpdf[q_emb].map(np.asarray).to_list()).astype(np.float64))
+        cmat = np.frombuffer(b"".join(dpdf["code"]), np.uint8).reshape(len(dpdf), mm)
+        dids = dpdf[d_id].to_numpy(np.int64)
+        dsub_ = cbs.shape[2]
+        outs = []
+        kk = min(k, len(dpdf))
+        rows_m = np.arange(mm)
+        for qi in range(len(qm)):
+            # LUT: sub-inner-products of this query against every
+            # codebook entry -> candidate score = m lookups summed
+            lut = np.einsum(
+                "md,mkd->mk", qm[qi].reshape(mm, dsub_), cbs
+            )  # (m, ksub)
+            s = lut[rows_m[None, :], cmat].sum(axis=1)
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            ord2 = np.lexsort((dids[idx], -s[idx]))
+            sel = idx[ord2]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        q_id: np.repeat(qpdf[q_id].to_numpy()[qi], len(sel)),
+                        "neighbor_id": dids[sel],
+                        "score": s[sel],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partial = (
+        probed.groupBy("list_id")
+        .cogroup(pruned.groupBy("list_id"))
+        .applyInPandas(lambda q, d: score(q, d), f"{q_id} long, neighbor_id long, score double")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "neighbor_id", "score", "rank")
+    )

@@ -356,3 +356,42 @@ def test_ivf_persisted_index_search(spark, embs, tmp_path):
         for q, g in got2.groupby("qid")
     )
     assert hits / (5 * len(qdf)) >= 0.8
+
+
+def test_ivf_pq_compressed_search(spark, embs, tmp_path):
+    """IVF-PQ: vectors stored as m uint8 codes (32x smaller than
+    float32); ADC search scores from codes alone. Recall vs the exact
+    brute oracle must be usable on the clustered fixture, improve with
+    nprobe, and the whole pipeline is deterministic (two identical
+    searches agree row-for-row)."""
+    path = str(tmp_path / "ivfpq")
+    ann.ivf_pq_build_index(embs, path, n_centroids=8, list_shards=2, m=8, seed=42)
+
+    pdf = embs.toPandas()
+    qdf = pdf.head(15)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    want = _brute_cosine_oracle(qdf, pdf, 10)
+
+    def hits(nprobe):
+        got = ann.ivf_pq_search(spark, path, queries, 10, nprobe=nprobe, q_id="qid").toPandas()
+        return got, sum(
+            len(set(g["neighbor_id"]) & set(want[int(q)]))
+            for q, g in got.groupby("qid")
+        )
+
+    got_all, h_all = hits(8)
+    _, h_one = hits(1)
+    assert h_one <= h_all
+    assert h_all / (10 * len(qdf)) >= 0.5  # quantization-bounded recall
+    # a query vector present in the corpus finds itself at rank 1 for
+    # most queries (its own code is its best quantized match)
+    self_top = sum(
+        int(g.sort_values("rank")["neighbor_id"].iloc[0] == q)
+        for q, g in got_all.groupby("qid")
+    )
+    assert self_top >= 10
+    # determinism
+    again, _ = hits(8)
+    a = got_all.sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
