@@ -256,6 +256,48 @@ def ivf_build_index(
     ).parquet(f"{path}/assigned")
 
 
+def ivf_index_append(
+    data: DataFrame,
+    path: str,
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+) -> None:
+    """Append NEW vectors to an existing persisted IVF index without
+    retraining: the stored centroids define the lists, the new rows are
+    assigned in one distributed map and appended to the partitioned
+    assigned table — the corpus-grows case (daily crawl increments). At
+    deployment the append is an Iceberg snapshot, so readers see either
+    the old or the new index atomically. Centroid drift from a shifted
+    distribution degrades recall gradually; rebuild on a schedule."""
+    spark = data.sparkSession
+    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
+    centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
+    assigned0 = spark.read.parquet(f"{path}/assigned")
+    n_lists = assigned0.select(F.max("list_id")).first()[0] + 1
+    shards = max(1, n_lists // len(centroids))
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
+            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
+            yield pd.DataFrame(
+                {"list_id": lists * shards + shard, d_id: pdf[d_id], d_emb: pdf[d_emb]}
+            )
+
+    new = data.select(d_id, d_emb).mapInPandas(
+        assign, f"list_id int, {d_id} long, {d_emb} array<float>"
+    )
+    new.repartition("list_id").write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/assigned"
+    )
+
+
 def ivf_search(
     spark,
     path: str,

@@ -77,6 +77,30 @@ def _decode_audio(payload: bytes, fmt: str) -> np.ndarray:
     )
 
 
+_MAGIC_V = b"FAKEVIDEO1"
+
+
+def _encode_fake_video(arr: np.ndarray) -> bytes:
+    """Deterministic fake video codec: (T, H, W, C) uint8 frames."""
+    h = struct.pack("<IIII", *arr.shape)
+    return _MAGIC_V + h + zlib.compress(arr.astype(np.uint8).tobytes(), 1)
+
+
+def _decode_video(payload: bytes, fmt: str) -> np.ndarray:
+    """STUB: decodes only the fake format; a real deployment plugs
+    pyav/ffmpeg into this one function — the Spark plumbing (schema,
+    batching, frame-sample shape) is codec-blind."""
+    if payload[: len(_MAGIC_V)] == _MAGIC_V:
+        t, hh, ww, cc = struct.unpack(
+            "<IIII", payload[len(_MAGIC_V) : len(_MAGIC_V) + 16]
+        )
+        raw = zlib.decompress(payload[len(_MAGIC_V) + 16 :])
+        return np.frombuffer(raw, np.uint8).reshape(t, hh, ww, cc)
+    raise NotImplementedError(
+        f"real video codec ({fmt}) not available; plug into _decode_video"
+    )
+
+
 # --- fixture ------------------------------------------------------------------
 
 
@@ -211,6 +235,60 @@ def audio_frame_sample(media: DataFrame, frame_ms: int = 25) -> DataFrame:
     return media.filter(F.col("kind") == "audio").select(
         "media_id", "fmt", "sample_rate", "payload"
     ).mapInPandas(kern, "media_id long, frame_idx int, rms double")
+
+
+def gen_video(spark, n: int, seed: int = 43) -> DataFrame:
+    """Deterministic video table (kind='video'): short clips of moving
+    ramp patterns; sample_rate carries fps, duration_ms the clip
+    length. Same MEDIA_SCHEMA as images/audio — one binary column plus
+    typed metadata, the layout the build spec prescribes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        t_frames = int(rng.integers(8, 25))
+        h, w = int(rng.integers(12, 24)), int(rng.integers(12, 24))
+        fps = 10
+        base = np.arange(h)[:, None] + np.arange(w)[None, :]
+        clip = np.stack(
+            [((base + 3 * t + i) % 256) for t in range(t_frames)], axis=0
+        ).astype(np.uint8)[..., None].repeat(3, axis=3)
+        rows.append(
+            (
+                i, "video", "fake", w, h, 3, fps,
+                t_frames * 1000 // fps, _encode_fake_video(clip),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Decode video → keep every ``every_n``-th frame and emit one row
+    per sampled frame with per-frame stats (the frame-sampling shape a
+    vision-model training pipeline consumes; the spec's video analogue
+    of audio_frame_sample). Arrow-batched; per-batch memory is bounded
+    by the clips in the batch — at scale, clip payloads are row-group
+    sized so a task holds a handful of clips at once."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, means, stds = [], [], [], []
+            for mid, fmt, payload in zip(
+                pdf["media_id"].to_numpy(np.int64), pdf["fmt"], pdf["payload"]
+            ):
+                clip = _decode_video(bytes(payload), fmt).astype(np.float64)
+                sel = np.arange(0, clip.shape[0], max(1, every_n))
+                gray = clip[sel].mean(axis=3)  # (t', h, w)
+                mids.extend([int(mid)] * len(sel))
+                idxs.extend(sel.tolist())
+                means.extend(gray.mean(axis=(1, 2)).tolist())
+                stds.extend(gray.std(axis=(1, 2)).tolist())
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "mean_gray": means, "std_gray": stds}
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "fmt", "payload"
+    ).mapInPandas(kern, "media_id long, frame_idx int, mean_gray double, std_gray double")
 
 
 def media_dedup_keys(media: DataFrame) -> DataFrame:

@@ -256,3 +256,33 @@ def test_cmdline_calcstats_printstats(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "@s2" in out and "count=5" in out
+
+
+def test_video_frame_sample(spark):
+    """Video modality plumbing: deterministic clips decode through the
+    stub codec; every_n frame sampling emits exactly the expected frame
+    indices with numpy-exact per-frame stats."""
+    from rios_spark.multimodal import _decode_video, gen_video, video_frame_sample
+
+    media = gen_video(spark, 12)
+    out = video_frame_sample(media, every_n=4).toPandas()
+    src = media.select("media_id", "fmt", "payload").toPandas()
+    assert set(out["media_id"]) == set(src["media_id"])
+    for mid, payload, fmt in zip(src["media_id"], src["payload"], src["fmt"]):
+        clip = _decode_video(bytes(payload), fmt).astype(np.float64)
+        sel = np.arange(0, clip.shape[0], 4)
+        grp = out[out["media_id"] == mid].sort_values("frame_idx")
+        assert list(grp["frame_idx"]) == sel.tolist()
+        gray = clip[sel].mean(axis=3)
+        assert np.allclose(grp["mean_gray"].to_numpy(), gray.mean(axis=(1, 2)))
+        assert np.allclose(grp["std_gray"].to_numpy(), gray.std(axis=(1, 2)))
+    # a real-format payload raises the documented stub error
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(99, "video", "mp4", 1, 1, 3, 10, 100, b"\x00\x01\x02")],
+        "media_id long, kind string, fmt string, width int, height int,"
+        " n_channels int, sample_rate int, duration_ms int, payload binary",
+    )
+    with _pytest.raises(Exception, match="video codec"):
+        video_frame_sample(bad).collect()

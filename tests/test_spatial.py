@@ -564,3 +564,34 @@ def test_knn_tiled_k_exceeds_data(spark):
             zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
         ):
             assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_knn_tiled_antimeridian_exact(spark):
+    """x-wrap correctness: queries hugging lon = +-180 whose true
+    nearest neighbours sit ACROSS the antimeridian — the k-ring wraps
+    in x and the guard's contiguous-box bound stays valid, so results
+    must equal brute force exactly."""
+    res = 6
+    rng = np.random.default_rng(123)
+    lat_d = rng.uniform(-60, 60, 50)
+    # data clustered just EAST of the antimeridian (lon in [-180, -175])
+    ddf = pd.DataFrame(
+        {"id": np.arange(50), "lat": lat_d, "lon": rng.uniform(-180, -175, 50)}
+    )
+    # queries just WEST of it (lon in [175, 180)) — nearest are across
+    qdf = pd.DataFrame(
+        {"qid": np.arange(25), "lat": rng.uniform(-60, 60, 25), "lon": rng.uniform(175, 180, 25)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, d_id="id", q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_oracle(qdf, ddf, 3)
+    assert len(got) == 25 * 3
+    for qid, grp in got.groupby("qid"):
+        for (gi, gd), (wi, wd) in zip(
+            zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
+        ):
+            assert gi == wi and gd == pytest.approx(wd, rel=1e-9)

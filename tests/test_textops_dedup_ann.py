@@ -395,3 +395,26 @@ def test_ivf_pq_compressed_search(spark, embs, tmp_path):
     a = got_all.sort_values(["qid", "rank"]).reset_index(drop=True)
     b = again.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ivf_index_append_exact(spark, embs, tmp_path):
+    """Corpus-grows case: build on half the vectors, append the other
+    half (no retrain — same stored centroids), then nprobe=all search
+    over the appended index equals brute force over the FULL corpus."""
+    path = str(tmp_path / "ivf_grow")
+    pdf = embs.toPandas()
+    half = len(pdf) // 2
+    first = spark.createDataFrame(pdf.iloc[:half])
+    rest = spark.createDataFrame(pdf.iloc[half:])
+    ann.ivf_build_index(first, path, n_centroids=8, list_shards=2, seed=42)
+    ann.ivf_index_append(rest, path)
+
+    qdf = pdf.head(12)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    got = (
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
