@@ -625,13 +625,24 @@ def ivf_pq_search(
     q_id: str = "qid",
     q_emb: str = "embedding",
     d_id: str = "vec_id",
+    rerank_path: str | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Search an IVF-PQ index by ADC: per query build a (m, ksub)
     lookup table of sub-inner-products against the codebooks, then each
     candidate's score is m table lookups summed — no float vectors are
     read at all (the codes table is the only scan, partition-pruned to
     the probed lists). Approximate by construction; rank is by
-    quantized inner product with (score desc, id) tie-break."""
+    quantized inner product with (score desc, id) tie-break.
+
+    rerank_path adds the standard REFINE step: the ADC top
+    (k * rerank_factor) candidates per query are re-scored with exact
+    cosine against the full-precision vectors of an ivf_build_index
+    at that path (same id space), joined on (list_id, id) so the float
+    read stays partition-pruned to the probed lists. The exact scoring
+    is the JVM higher-order cosine expression — no extra Python.
+    Recovers quantization-lost recall at the cost of reading floats for
+    candidates only (k*factor rows per query, not the corpus)."""
     cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
     order = np.argsort(cen_pdf["centroid_id"].to_numpy())
     coarse = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
@@ -670,10 +681,15 @@ def ivf_pq_search(
     probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
     pruned = codes.filter(F.col("list_id").isin(probe_ids))
 
-    def score(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+    k_local = k if rerank_path is None else k * max(1, rerank_factor)
+
+    def score(key, qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(dpdf) == 0:
-            return pd.DataFrame({q_id: [], "neighbor_id": [], "score": []}).astype(
-                {q_id: np.int64, "neighbor_id": np.int64, "score": np.float64}
+            return pd.DataFrame(
+                {q_id: [], "neighbor_id": [], "score": [], "list_id": []}
+            ).astype(
+                {q_id: np.int64, "neighbor_id": np.int64, "score": np.float64,
+                 "list_id": np.int32}
             )
         _, cbs = bc.value
         mm = cbs.shape[0]
@@ -682,7 +698,7 @@ def ivf_pq_search(
         dids = dpdf[d_id].to_numpy(np.int64)
         dsub_ = cbs.shape[2]
         outs = []
-        kk = min(k, len(dpdf))
+        kk = min(k_local, len(dpdf))
         rows_m = np.arange(mm)
         for qi in range(len(qm)):
             # LUT: sub-inner-products of this query against every
@@ -700,6 +716,7 @@ def ivf_pq_search(
                         q_id: np.repeat(qpdf[q_id].to_numpy()[qi], len(sel)),
                         "neighbor_id": dids[sel],
                         "score": s[sel],
+                        "list_id": np.repeat(np.int32(key[0]), len(sel)),
                     }
                 )
             )
@@ -708,11 +725,45 @@ def ivf_pq_search(
     partial = (
         probed.groupBy("list_id")
         .cogroup(pruned.groupBy("list_id"))
-        .applyInPandas(lambda q, d: score(q, d), f"{q_id} long, neighbor_id long, score double")
+        .applyInPandas(
+            score, f"{q_id} long, neighbor_id long, score double, list_id int"
+        )
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col("neighbor_id"))
-    return (
+    if rerank_path is None:
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "neighbor_id", "score", "rank")
+        )
+    # refine: exact cosine for the ADC top k*factor, reading floats for
+    # CANDIDATES only. Requires the full-precision index at rerank_path
+    # to be built with the SAME n_centroids/list_shards/sample/seed as
+    # this PQ index so (list_id, id) addresses the same partition.
+    cand = (
         partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_local)
+        .select(q_id, "neighbor_id", "list_id")
+    )
+    full = (
+        spark.read.parquet(f"{rerank_path}/assigned")
+        .filter(F.col("list_id").isin(probe_ids))
+        .select(
+            "list_id",
+            F.col(d_id).alias("neighbor_id"),
+            F.col("embedding").alias("__dvec"),
+        )
+    )
+    qvecs = queries.select(q_id, F.col(q_emb).alias("__qvec"))
+    exact = (
+        cand.join(full, ["list_id", "neighbor_id"])
+        .join(F.broadcast(qvecs), q_id)
+        .withColumn("score", cosine_sim_col("__qvec", "__dvec"))
+        .drop("__qvec", "__dvec", "list_id")
+    )
+    w2 = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(q_id, "neighbor_id", "score", "rank")
     )

@@ -418,3 +418,28 @@ def test_ivf_index_append_exact(spark, embs, tmp_path):
     want = _brute_cosine_oracle(qdf, pdf, 5)
     for qid, grp in got.groupby("qid"):
         assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
+
+
+def test_ivf_pq_rerank_recovers_exactness(spark, embs, tmp_path):
+    """PQ + refine: the ADC shortlist re-scored with exact cosine
+    against a same-params full-precision index (floats read for
+    CANDIDATES only, partition-pruned) matches the brute oracle at
+    nprobe=all when the shortlist factor is generous."""
+    pq = str(tmp_path / "pq")
+    full = str(tmp_path / "full")
+    ann.ivf_pq_build_index(embs, pq, n_centroids=8, list_shards=2, m=8, seed=42)
+    ann.ivf_build_index(embs, full, n_centroids=8, list_shards=2, seed=42)
+
+    pdf = embs.toPandas()
+    qdf = pdf.head(12)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    got = (
+        ann.ivf_pq_search(
+            spark, pq, queries, 5, nprobe=8, q_id="qid",
+            rerank_path=full, rerank_factor=10,
+        )
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
