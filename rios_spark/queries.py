@@ -370,6 +370,56 @@ def _o_knn() -> str:
 O_KNN_CUST_SUPP = _o_knn()
 
 
+def q_resample_bilinear_cust(spark, sf_dir):
+    """J7 resample kernel, oracle-checked: bilinear (k=4 inverse-
+    distance) resample of a supplier-keyed value field onto customer
+    points — the kernel WEIGHTS themselves are verified against SQL,
+    not just the neighbour sets (knn_cust_supp covers those)."""
+    cust = _geo(_t(spark, sf_dir, "customer"), "c_custkey", CUST_RES).select(
+        "c_custkey", "lat", "lon"
+    )
+    lat, lon = geocode_cols((F.col("s_suppkey") * 13 + 7))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .withColumn("v", (F.col("s_suppkey") * 7 % 100).cast("double") / F.lit(3.0))
+        .select(F.col("s_suppkey").alias("id"), "lat", "lon", "v")
+        .toPandas()
+    )
+    out = spatial.resample_join(cust, supp, "v", method="bilinear", d_id="id")
+    return out.select("c_custkey", _f6(F.col("resampled")).alias("resampled"))
+
+
+def _o_resample_bilinear() -> str:
+    clat, clon = geocode_sql("c_custkey")
+    slat, slon = geocode_sql("(s_suppkey*13+7)")
+    dist = (
+        f"(2.0 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians(({slat}) - ({clat})) / 2), 2)"
+        f" + cos(radians({clat})) * cos(radians({slat}))"
+        f" * pow(sin(radians(({slon}) - ({clon})) / 2), 2))))"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT c.c_custkey, (s.s_suppkey*7%100)::DOUBLE / 3.0 AS v,
+             {dist} AS d,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY {dist}, s.s_suppkey) AS rn
+      FROM customer c CROSS JOIN supplier s
+    )
+    SELECT c_custkey,
+           floor((sum(w * v) / sum(w)) * 1000000.0) / 1000000.0 AS resampled
+    FROM (SELECT c_custkey, v,
+                 CASE WHEN d = 0 THEN 1e18 ELSE 1.0 / pow(d, 1.0) END AS w
+          FROM ranked WHERE rn <= 4)
+    GROUP BY c_custkey
+    """
+
+
+O_RESAMPLE_BILINEAR_CUST = _o_resample_bilinear()
+
+
 def q_knn_tiled_cust_supp(spark, sf_dir):
     """The DISTRIBUTED kNN (J8: k-ring candidates + completeness-guard
     fallback) on the same inputs as knn_cust_supp — and checked against
@@ -1306,6 +1356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_pentagon_docs": q_zonal_pentagon_docs,
     "knn_cust_supp": q_knn_cust_supp,
     "knn_tiled_cust_supp": q_knn_tiled_cust_supp,
+    "resample_bilinear_cust": q_resample_bilinear_cust,
     "pyramid_docs": q_pyramid_docs,
     "cells_for_extent": q_cells_for_extent,
     "adaptive_split_docs": q_adaptive_split_docs,
@@ -1351,6 +1402,7 @@ ORACLES: dict[str, str] = {
     "zonal_pentagon_docs": O_ZONAL_PENTAGON_DOCS,
     "knn_cust_supp": O_KNN_CUST_SUPP,
     "knn_tiled_cust_supp": O_KNN_CUST_SUPP,  # same oracle: tiled == exact
+    "resample_bilinear_cust": O_RESAMPLE_BILINEAR_CUST,
     "pyramid_docs": O_PYRAMID_DOCS,
     "cells_for_extent": O_CELLS_FOR_EXTENT,
     "stats_lineitem": O_STATS_LINEITEM,
