@@ -86,6 +86,59 @@ def stream_zonal_counts(
     )
 
 
+def stream_pair_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    res: int,
+    max_skew: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    left_id: str = "page_id",
+    right_id: str = "page_id",
+) -> DataFrame:
+    """Stream-stream JOIN on the tile key — the streaming face of the
+    engine's gather-inputs-per-block join (SURVEY §2.9 mapped RIOS's
+    block-completion events to 'stream-stream join with watermark';
+    this is that operator realized): two live feeds tile-assign with
+    the SAME codegen'd cell expression as batch and inner-join where
+    cells match and event times are within ``max_skew`` of each other.
+    Both sides carry watermarks, so Spark bounds the join state to the
+    watermark+skew horizon — a row whose partner can no longer arrive
+    is dropped from state (RIOS's 'block complete when all inputs
+    present', with lateness made explicit).
+
+    Returns (cell, left id, right id, both timestamps) — one row per
+    matched pair; aggregate downstream as needed."""
+    l = (
+        left_stream.withColumn("cell", cell_col(lat, lon, res))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col("cell"),
+            F.col(left_id).alias("left_id"),
+            F.col(ts_col).alias("left_ts"),
+        )
+    )
+    r = (
+        right_stream.withColumn("cell", cell_col(lat, lon, res))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col("cell").alias("r_cell"),
+            F.col(right_id).alias("right_id"),
+            F.col(ts_col).alias("right_ts"),
+        )
+    )
+    cond = (
+        (l["cell"] == r["r_cell"])
+        & (r["right_ts"] >= F.expr(f"left_ts - interval {max_skew}"))
+        & (r["right_ts"] <= F.expr(f"left_ts + interval {max_skew}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "cell", "left_id", "right_id", "left_ts", "right_ts"
+    )
+
+
 def stream_sessionize(
     events_stream: DataFrame,
     gap_s: int = 1800,

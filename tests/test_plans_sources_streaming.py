@@ -442,3 +442,61 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert want_non_final <= got_set
     # nothing emitted that the batch op doesn't produce
     assert got_set <= want_all
+
+
+def test_stream_pair_join_matches_batch(spark, tmp_path):
+    """Stream-stream tile join == the same join in batch: two live
+    feeds (odd/even pages) matched per cell within the time-skew
+    window; every batch-join pair appears exactly once in the stream
+    output."""
+    pdf = datagen.gen_pages(4000)
+    left_pdf = pdf[pdf["page_id"] % 2 == 0]
+    right_pdf = pdf[pdf["page_id"] % 2 == 1]
+    lsrc, rsrc = str(tmp_path / "pj_l"), str(tmp_path / "pj_r")
+    cols = ["page_id", "warc_ts", "lat", "lon"]
+    spark.createDataFrame(left_pdf[cols]).write.parquet(lsrc)
+    spark.createDataFrame(right_pdf[cols]).write.parquet(rsrc)
+
+    from rios_spark.streaming import stream_pair_join
+
+    schema = spark.read.parquet(lsrc).schema
+    ls = spark.readStream.schema(schema).parquet(lsrc)
+    rs = spark.readStream.schema(schema).parquet(rsrc)
+    q = (
+        stream_pair_join(ls, rs, RES, max_skew="30 minutes")
+        .writeStream.format("memory")
+        .queryName("pj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from pj_test").toPandas()
+
+    l = (
+        spark.read.parquet(lsrc)
+        .withColumn("cell", cell_col("lat", "lon", RES))
+        .select("cell", F.col("page_id").alias("left_id"), F.col("warc_ts").alias("left_ts"))
+    )
+    r = (
+        spark.read.parquet(rsrc)
+        .withColumn("cell", cell_col("lat", "lon", RES))
+        .select(F.col("cell").alias("r_cell"), F.col("page_id").alias("right_id"),
+                F.col("warc_ts").alias("right_ts"))
+    )
+    want = (
+        l.join(
+            r,
+            (l["cell"] == r["r_cell"])
+            & (r["right_ts"] >= F.expr("left_ts - interval 30 minutes"))
+            & (r["right_ts"] <= F.expr("left_ts + interval 30 minutes")),
+            "inner",
+        )
+        .select("left_id", "right_id")
+        .toPandas()
+    )
+    g = set(zip(got["left_id"], got["right_id"]))
+    w = set(zip(want["left_id"], want["right_id"]))
+    assert len(got) == len(g), "stream emitted a duplicate pair"
+    assert g == w
+    assert len(w) > 20  # the fixture actually produces matches
