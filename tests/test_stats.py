@@ -232,3 +232,58 @@ def test_persisted_stats_roundtrip(spark, tmp_path):
     latest = read_stats(spark, store, table="t1", column="v", latest=True).toPandas()
     assert len(latest) == 1 and latest.iloc[0]["snapshot"] == "0002"
     assert latest.iloc[0]["count"] == 50
+
+
+def test_signed_int8_roundtrip_and_stats(spark, tmp_path):
+    """testsigned8bit parity (rios/riostests/testsigned8bit.py): the
+    full TINYINT range (-128..127) round-trips through a tiled write
+    byte-exact and its statistics are exact — negative values neither
+    wrap nor upcast silently."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from rios_spark import sources
+    from rios_spark.grid import cell_col
+
+    vals = np.arange(-128, 128, dtype=np.int8)
+    pdf = pd.DataFrame(
+        {
+            "pix": np.arange(256),
+            "v": vals,
+            "lat": np.linspace(-80, 80, 256),
+            "lon": np.linspace(-170, 170, 256),
+        }
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .withColumn("v", F.col("v").cast("tinyint"))
+        .withColumn("cell", cell_col("lat", "lon", 4))
+    )
+    path = str(tmp_path / "int8_tiled")
+    sources.write_tiled(df, path, 4)
+    back = sources.read_tiled(spark, path, 4)
+    assert dict(back.dtypes)["v"] == "tinyint"  # dtype preserved end-to-end
+    got = back.select("pix", "v").toPandas().sort_values("pix")
+    assert (got["v"].to_numpy(np.int8) == vals).all()
+    s = stats.basic_stats(back, "v").collect()[0]
+    assert s["minval"] == -128.0 and s["maxval"] == 127.0
+    assert s["mean"] == pytest.approx(vals.astype(np.float64).mean())
+    assert s["count"] == 256
+
+
+def test_apply_return_observe_sideoutputs(spark, tmp_path):
+    """testapplyreturn parity (rios/riostests/testapplyreturn.py:58-85):
+    RIOS kernels accumulate sums in otherargs that the caller reduces
+    across workers into an average; the Spark re-expression is
+    observe() side-metrics on the SAME action as the output write — one
+    pass, any number of workers, same answer as a direct aggregate."""
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame({"k": np.arange(5000), "value": rng.integers(0, 100, 5000).astype(float)})
+    df = spark.createDataFrame(pdf).repartition(16)  # many "workers"
+    got = stats.write_with_stats(df, str(tmp_path / "ar_out"), "value")
+    avg = got["sum"] / got["count"]
+    assert got["count"] == 5000
+    assert avg == pytest.approx(pdf["value"].mean(), rel=1e-12)
