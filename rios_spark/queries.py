@@ -60,9 +60,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _geo(df: DataFrame, key: str, res: int) -> DataFrame:
-    lat, lon = geocode_cols(key)
-    return df.withColumn("lat", lat).withColumn("lon", lon).withColumn(
-        "cell", cell_col("lat", "lon", res)
+    # one F.expr per column instead of ~100 py4j round-trips building
+    # the tree node by node: the SQL text IS the oracle's arithmetic
+    # (test_geocode_parity pins text == Column == numpy), and plan
+    # construction drops ~0.4 s per query on the driver
+    lat_sql, lon_sql = geocode_sql(key)
+    return (
+        df.withColumn("lat", F.expr(lat_sql))
+        .withColumn("lon", F.expr(lon_sql))
+        .withColumn("cell", F.expr(cell_sql("lat", "lon", res)))
     )
 
 
@@ -388,7 +394,13 @@ def q_resample_bilinear_cust(spark, sf_dir):
         .toPandas()
     )
     out = spatial.resample_join(cust, supp, "v", method="bilinear", d_id="id")
-    return out.select("c_custkey", _f6(F.col("resampled")).alias("resampled"))
+    # epsilon-floor, NOT plain _f6: when all 4 neighbours share a value
+    # the true quotient sits EXACTLY on the 1e-6 grid, and Spark's
+    # order-nondeterministic 4-term sum can land one ulp below it while
+    # DuckDB lands on it — the epsilon (1e-9 in value units) absorbs
+    # that noise identically on both sides
+    r = F.floor(F.col("resampled") * F.lit(1000000.0) + F.lit(1e-3)) / F.lit(1000000.0)
+    return out.select("c_custkey", r.alias("resampled"))
 
 
 def _o_resample_bilinear() -> str:
@@ -409,7 +421,7 @@ def _o_resample_bilinear() -> str:
       FROM customer c CROSS JOIN supplier s
     )
     SELECT c_custkey,
-           floor((sum(w * v) / sum(w)) * 1000000.0) / 1000000.0 AS resampled
+           floor((sum(w * v) / sum(w)) * 1000000.0 + 0.001) / 1000000.0 AS resampled
     FROM (SELECT c_custkey, v,
                  CASE WHEN d = 0 THEN 1e18 ELSE 1.0 / pow(d, 1.0) END AS w
           FROM ranked WHERE rn <= 4)
