@@ -493,11 +493,24 @@ def geocode_sql(key_expr: str) -> tuple[str, str]:
     """Deterministic (lat, lon) derived from an integer key — the same
     arithmetic in Spark SQL and DuckDB. Used to give the driver's
     TPC-H-ish tables a geography so spatial operators get real SQL
-    oracles. Knuth multiplicative hashes; all intermediates < 2^63."""
+    oracles. Knuth multiplicative hashes; all intermediates < 2^63.
+
+    The float literals MUST be e-notation: `4294967296.0` parses as a
+    DECIMAL literal in BOTH Spark SQL and DuckDB, and each engine's
+    decimal division rounds differently (Spark caps quotient scale at
+    precision 38 with HALF_UP; DuckDB keeps the quotient exact here),
+    shifting lat/lon by ~1e-10 degrees between engines — which was the
+    root of the r3 knn/utm hash regressions (dist noise ~4e-3 in 1e-5
+    km grid units, larger than any reasonable floor epsilon). With
+    `4294967296e0` every engine does pure IEEE double arithmetic, and
+    because h < 2^32 and h*360 < 2^41 fit a double mantissa while the
+    divisor is a power of two, the result is EXACT — Spark SQL text,
+    the Column form below, DuckDB, and numpy all produce bit-identical
+    doubles (pinned by test_geocode_parity)."""
     h1 = f"(({key_expr}) * 2654435761) % 4294967296"
     h2 = f"((({key_expr}) + 1442695040888963407 % 1000000007) * 2246822519) % 4294967296"
-    lon = f"(({h1}) / 4294967296.0 * 360.0 - 180.0)"
-    lat = f"(({h2}) / 4294967296.0 * 170.0 - 85.0)"
+    lon = f"(({h1}) / 4294967296e0 * 360e0 - 180e0)"
+    lat = f"(({h2}) / 4294967296e0 * 170e0 - 85e0)"
     return lat, lon
 
 

@@ -345,12 +345,16 @@ def q_knn_cust_supp(spark, sf_dir):
         .withColumn("lon", lon)
         .select(F.col("s_suppkey").alias("id"), "lat", "lon")
     )
-    out = spatial.knn_join(cust, supp, 3, res=CUST_RES, d_id="id")
+    # quantize=1e5: rank AND emit dist_km on the epsilon-floored 1e-5 km
+    # grid (floor(d*1e5 + 1e-3)/1e5, identically in the oracle) — a raw
+    # value sitting ON a grid line floors to either side depending on
+    # engine ulps (the fcb9933 regression: one 1e-5 step on 2 rows)
+    out = spatial.knn_join(cust, supp, 3, res=CUST_RES, d_id="id", quantize=1e5)
     return out.select(
         "c_custkey",
         F.col("neighbor_id").alias("s_suppkey"),
         F.col("rank").cast("long").alias("rank"),
-        (F.floor(F.col("dist_km") * F.lit(100000.0)) / F.lit(100000.0)).alias("dist_km"),
+        F.col("dist_km"),
     )
 
 
@@ -363,11 +367,16 @@ def _o_knn() -> str:
         f" + cos(radians({clat})) * cos(radians({slat}))"
         f" * pow(sin(radians(({slon}) - ({clon})) / 2), 2))))"
     )
+    # rank over the SAME quantized distance the Spark side ranks on —
+    # ulp noise can neither move a value across a floor grid line (the
+    # epsilon absorbs it) nor flip a near-tie's order (equal grid points
+    # fall back to the s_suppkey tie-break on both engines)
+    qdist = f"(floor(({dist}) * 100000.0 + 0.001) / 100000.0)"
     return f"""
-    SELECT c_custkey, s_suppkey, rank, floor(dist_km * 100000.0) / 100000.0 AS dist_km FROM (
-      SELECT c.c_custkey, s.s_suppkey, {dist} AS dist_km,
+    SELECT c_custkey, s_suppkey, rank, dist_km FROM (
+      SELECT c.c_custkey, s.s_suppkey, {qdist} AS dist_km,
              row_number() OVER (PARTITION BY c.c_custkey
-                                ORDER BY {dist}, s.s_suppkey) AS rank
+                                ORDER BY {qdist}, s.s_suppkey) AS rank
       FROM customer c CROSS JOIN supplier s)
     WHERE rank <= 3
     """
@@ -447,12 +456,14 @@ def q_knn_tiled_cust_supp(spark, sf_dir):
         .select(F.col("s_suppkey").alias("id"), "lat", "lon")
         .withColumn("cell", cell_col("lat", "lon", CUST_RES))
     )
-    out = spatial.knn_tiled(cust, supp, 3, CUST_RES, d_id="id", q_id="c_custkey")
+    out = spatial.knn_tiled(
+        cust, supp, 3, CUST_RES, d_id="id", q_id="c_custkey", quantize=1e5
+    )
     return out.select(
         "c_custkey",
         F.col("neighbor_id").alias("s_suppkey"),
         F.col("rank").cast("long").alias("rank"),
-        (F.floor(F.col("dist_km") * F.lit(100000.0)) / F.lit(100000.0)).alias("dist_km"),
+        F.col("dist_km"),
     )
 
 
@@ -1034,12 +1045,44 @@ WHERE q.vec_id < e.vec_id
 
 
 def q_simhash_docs(spark, sf_dir):
-    """64-bit simhash per document (rows-only check: md5-bit voting is
-    not reasonably SQL-expressible)."""
+    """64-bit simhash per document. Oracle-backed as of r4 (VERDICT r3
+    #5): the md5-bit voting IS SQL-expressible in DuckDB — tokens via
+    string_split_regex, per-token upper-64 md5 bits via a '0x'-prefixed
+    hex cast, ±1 votes per bit over generate_series(0,63), sign,
+    HUGEINT bit reassembly with explicit two's-complement wrap to
+    BIGINT (matching numpy's uint64→int64 view)."""
     from rios_spark import dedup
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash_col_udf()("text").alias("simhash"))
+
+
+O_SIMHASH_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, cast('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN coalesce(s.s, 0) >= CAST(1 AS HUGEINT) << 63
+       THEN coalesce(s.s, 0) - (CAST(1 AS HUGEINT) << 64)
+       ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh s USING (doc_id)
+"""
 
 
 def q_extract_text_invariant(spark, sf_dir):
@@ -1189,11 +1232,14 @@ def q_utm_project_customers(spark, sf_dir):
     e, n = lonlat_to_tm_cols(
         "lat", "lon", (F.col("zone") * 6 - 183).cast("double")
     )
+    # epsilon inside the floor (1e-3 in scaled units = 0.1 mm): a true
+    # coordinate ON the 0.1 m grid otherwise floors to either side
+    # depending on engine ulps (fcb9933 regression: one 0.1 m step)
     return cust.select(
         "c_custkey",
         F.col("zone").cast("long").alias("zone"),
-        (F.floor(e * 10.0) / 10.0).alias("easting"),
-        (F.floor(n * 10.0) / 10.0).alias("northing"),
+        (F.floor(e * 10.0 + F.lit(1e-3)) / 10.0).alias("easting"),
+        (F.floor(n * 10.0 + F.lit(1e-3)) / 10.0).alias("northing"),
     )
 
 
@@ -1228,8 +1274,8 @@ t5 AS (SELECT *,
        + {a3}*cos(6.0*xip)*((exp(6.0*etap)-exp(-6.0*etap))/2.0)
        + {a4}*cos(8.0*xip)*((exp(8.0*etap)-exp(-8.0*etap))/2.0) AS eta FROM t4)
 SELECT c_custkey, cast(zone AS bigint) AS zone,
-  floor((500000.0 + {k0a}*eta)*10.0)/10.0 AS easting,
-  floor(({k0a}*xi)*10.0)/10.0 AS northing
+  floor((500000.0 + {k0a}*eta)*10.0 + 0.001)/10.0 AS easting,
+  floor(({k0a}*xi)*10.0 + 0.001)/10.0 AS northing
 FROM t5
 """
 
@@ -1307,12 +1353,63 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 
 
 def q_media_image_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): deterministic media fixture →
-    decode → per-channel stats + perceptual hash."""
+    """Multimodal plumbing, oracle-backed as of r4 (VERDICT r3 #5):
+    deterministic media fixture → fake-codec decode → per-channel stats
+    + perceptual hash. The fixture is fully deterministic, so the
+    oracle below re-derives every expected row driver-side in plain
+    numpy — WITHOUT touching rios_spark.multimodal — and pins the whole
+    distributed path (binary payloads through Arrow, codec round-trip,
+    kernel arithmetic, schema) against a constant table."""
     from rios_spark import multimodal
 
     media = multimodal.gen_media(spark, 90)
     return multimodal.image_features(media)
+
+
+def _o_media_features(n: int = 90, seed: int = 42) -> str:
+    """Reconstruct gen_media(n, seed)'s images and their features in
+    pure numpy (mirroring multimodal.py's documented arithmetic, not
+    importing it) and emit a DuckDB constant SELECT. Floats are printed
+    at 17 significant digits (exact double round-trip)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 3 != 2:  # image — same rng draw order as the fixture
+            h = int(rng.integers(16, 48))
+            w = int(rng.integers(16, 48))
+            base = (np.arange(h)[:, None] + np.arange(w)[None, :]) * (i % 7 + 1)
+            img = np.stack(
+                [(base + c * 11) % 256 for c in range(3)], axis=2
+            ).astype(np.uint8).astype(np.float64)
+            gray = img.mean(axis=2)
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(8) * w) // 8
+            blocks = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+            bits = (blocks > blocks.mean()).ravel()
+            phash = int(
+                np.uint64(
+                    (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+                ).astype(np.int64)
+            )
+            rows.append(
+                f"({i}, {w}, {h}, CAST({img[:, :, 0].mean():.17e} AS DOUBLE),"
+                f" CAST({img[:, :, 1].mean():.17e} AS DOUBLE),"
+                f" CAST({img[:, :, 2].mean():.17e} AS DOUBLE),"
+                f" CAST({gray.std():.17e} AS DOUBLE), {phash})"
+            )
+        else:  # audio row — consume the fixture's rng draw to stay aligned
+            int(rng.integers(100, 400))
+    values = ",\n".join(rows)
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       mean_r, mean_g, mean_b, std_gray, CAST(phash AS BIGINT) AS phash
+FROM (VALUES {values})
+  AS t(media_id, width, height, mean_r, mean_g, mean_b, std_gray, phash)
+"""
+
+
+O_MEDIA_IMAGE_FEATURES = _o_media_features()
 
 
 def q_rat_color_table(spark, sf_dir):
@@ -1446,7 +1543,9 @@ ORACLES: dict[str, str] = {
     "median_across_sources": O_MEDIAN_ACROSS_SOURCES,
     "rat_color_table": O_RAT_COLOR_TABLE,
     "extract_text_invariant": O_EXTRACT_TEXT_INVARIANT,
-    # simhash_docs, media_image_features: intentionally oracle-less
-    # (rows-only check) — md5-bit voting / binary fixtures are not
-    # SQL-expressible
+    # oracle-backed as of r4 (VERDICT r3 #5): simhash via DuckDB md5 +
+    # bit voting in SQL; media features via the deterministic fixture
+    # re-derived driver-side as a constant table
+    "simhash_docs": O_SIMHASH_DOCS,
+    "media_image_features": O_MEDIA_IMAGE_FEATURES,
 }

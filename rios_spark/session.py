@@ -57,3 +57,46 @@ def stop_spark() -> None:
     s = SparkSession.getActiveSession()
     if s is not None:
         s.stop()
+
+
+# ---------------------------------------------------------------------------
+# Intermediate-cache lifecycle (ADVICE r3: knn_tiled / ivf_search persist
+# control frames that feed the LAZY result plan, so they cannot be
+# unpersisted inside the operator without forcing an eager materialization.
+# Instead each operator registers its persisted intermediates under a key;
+# the NEXT call with the same key releases the previous call's caches, so a
+# long-lived session holds at most one call's worth of executor cache per
+# operator. Unpersisting never breaks correctness — a still-referenced plan
+# simply recomputes — it only drops the cache-hit speedup of re-consuming a
+# stale result, which is the right trade against unbounded cache growth.)
+# ---------------------------------------------------------------------------
+
+_CACHE_REGISTRY_ATTR = "_rios_spark_cache_registry"
+
+
+def track_caches(spark: SparkSession, key: str, frames: list) -> None:
+    """Register `frames` (persisted DataFrames) as the live intermediate
+    caches for operator `key`, releasing whatever the previous call with
+    the same key had registered."""
+    reg = getattr(spark, _CACHE_REGISTRY_ATTR, None)
+    if reg is None:
+        reg = {}
+        setattr(spark, _CACHE_REGISTRY_ATTR, reg)
+    for df in reg.get(key, ()):  # release the previous generation
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session/plan already torn down — nothing to release
+    reg[key] = list(frames)
+
+
+def release_caches(spark: SparkSession, key: str | None = None) -> None:
+    """Explicitly release registered intermediate caches (all keys, or
+    one operator's) — for callers done consuming an operator's result."""
+    reg = getattr(spark, _CACHE_REGISTRY_ATTR, None) or {}
+    for k in list(reg) if key is None else [key]:
+        for df in reg.pop(k, ()):
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass

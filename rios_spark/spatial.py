@@ -348,6 +348,22 @@ KNN_GEMM_BUDGET = 8_000_000
 KNN_AUTO_RING_MAX = 16
 
 
+def _quantize_np(dist: np.ndarray, quantize: float) -> np.ndarray:
+    """Epsilon-floor a distance array onto the 1/quantize grid — the
+    same arithmetic as _quantize_col / the SQL oracles, so every engine
+    lands on the identical grid point even when the raw values differ
+    by ulps (the fcb9933 lesson: a true value ON a grid line floors to
+    either side without the epsilon)."""
+    return np.floor(dist * quantize + 1e-3) / quantize
+
+
+def _quantize_col(dist, quantize: float):
+    """Column twin of _quantize_np: floor(d*q + 1e-3)/q. The 1e-3 is in
+    SCALED units (1e-8 km at q=1e5) — far above cross-engine ulp noise,
+    far below one grid step."""
+    return F.floor(dist * F.lit(quantize) + F.lit(1e-3)) / F.lit(quantize)
+
+
 def _block_topk(
     qla: np.ndarray,
     qlo: np.ndarray,
@@ -356,11 +372,16 @@ def _block_topk(
     did: np.ndarray,
     k: int,
     use_haversine: bool = True,
+    quantize: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k of each query against the full data arrays, chunking
     the query rows so rows x n_data never exceeds KNN_GEMM_BUDGET.
     Returns (ids, dists) of shape (n_queries, kk), kk = min(k, n_data),
-    sorted per row with deterministic (distance, data id) tie-break."""
+    sorted per row with deterministic (distance, data id) tie-break.
+    With `quantize`, distances are epsilon-floored onto the 1/quantize
+    grid BEFORE selection/ranking, so near-ties within fp noise of each
+    other collapse to the same grid point and the (distance, id) order
+    is reproducible across engines."""
     nq, nd = len(qla), len(did)
     kk = min(k, nd)
     out_ids = np.empty((nq, kk), np.int64)
@@ -373,6 +394,8 @@ def _block_topk(
             dist = haversine_km(a, o, dla[None, :], dlo[None, :])
         else:
             dist = np.sqrt((a - dla[None, :]) ** 2 + (o - dlo[None, :]) ** 2)
+        if quantize is not None:
+            dist = _quantize_np(dist, quantize)
         idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk] if kk < nd else (
             np.broadcast_to(np.arange(nd), (e - s, nd)).copy()
         )
@@ -394,6 +417,7 @@ def knn_bruteforce(
     d_lon: str = "lon",
     d_id: str = "id",
     metric: str = "haversine",
+    quantize: float | None = None,
 ) -> DataFrame:
     """Exact kNN with the data side broadcast (the small-dim case —
     analogous to RIOS broadcasting one rasterization per process).
@@ -426,7 +450,9 @@ def knn_bruteforce(
                 continue
             qla = pdf[q_lat].to_numpy(np.float64)
             qlo = pdf[q_lon].to_numpy(np.float64)
-            ids, dsel = _block_topk(qla, qlo, dla, dlo, did, k, use_haversine)
+            ids, dsel = _block_topk(
+                qla, qlo, dla, dlo, did, k, use_haversine, quantize=quantize
+            )
             rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
             rep["neighbor_id"] = ids.ravel()
             rep["dist_km"] = dsel.ravel()
@@ -490,7 +516,7 @@ def _ring_guard_km(res: int, ring, q_lat: str, q_lon: str):
 
 def _rank_and_prove(
     cand: DataFrame, part_cols: list[str], k: int, res: int, ring,
-    q_lat: str, q_lon: str,
+    q_lat: str, q_lon: str, quantize: float | None = None,
 ) -> DataFrame:
     """Window top-k + the completeness guard, all inside ONE window
     partitioning (one shuffle): a query's top-k is proven exact iff it
@@ -498,8 +524,21 @@ def _rank_and_prove(
     guaranteed coverage radius. Adds rank, __nfound, __kth, __proved.
     No per-query agg DataFrame, no broadcast of the proven set (which
     is almost ALL queries — broadcasting it was a round-1 scale bug).
-    `ring` may be an int or a per-row Column (adaptive escalation)."""
+    `ring` may be an int or a per-row Column (adaptive escalation).
+    With `quantize`, ranking, dist_km, __kth AND the guard compare all
+    run in the epsilon-floored metric: near-ties collapse to the same
+    grid point so the (distance, id) order is engine-reproducible, and
+    the proof stays sound because quantization is monotone — any point
+    outside the ring has raw dist >= guard, hence quantized dist >=
+    quantized(guard), so __kth_q < quantized(guard) still certifies
+    that NO outside point (even an equal-raw-distance tie) can enter
+    the quantized-metric top-k. The escalation-radius inversion keeps
+    using __kth; its at-least-one-cell slack (km-scale) dwarfs the one
+    grid step (1/quantize) the quantized kth can sit below raw, and the
+    re-checked guard keeps every round exact regardless."""
     dist = _haversine_col(F.col(q_lat), F.col(q_lon), F.col("__dlat"), F.col("__dlon"))
+    if quantize:
+        dist = _quantize_col(dist, quantize)
     cand = cand.withColumn("dist_km", dist)
     keys = [F.col(c) for c in part_cols]
     w = Window.partitionBy(*keys).orderBy(
@@ -508,6 +547,8 @@ def _rank_and_prove(
     wp = Window.partitionBy(*keys)
     ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     guard = _ring_guard_km(res, ring, q_lat, q_lon)
+    if quantize:
+        guard = _quantize_col(guard, quantize)
     return (
         ranked.withColumn("__nfound", F.count("dist_km").over(wp))
         .withColumn("__kth", F.max("dist_km").over(wp))
@@ -538,6 +579,7 @@ def _knn_residual_scan(
     d_lon: str,
     d_id: str,
     chunk: int | None = None,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Exact distributed brute force for a SMALL query set against an
     arbitrarily large data side: the residue queries are collected and
@@ -560,7 +602,7 @@ def _knn_residual_scan(
             parts.append(
                 _residual_scan_chunk(
                     bad_q, data, k, part_cols, key_cols, buf,
-                    q_lat, q_lon, d_lat, d_lon, d_id,
+                    q_lat, q_lon, d_lat, d_lon, d_id, quantize=quantize,
                 )
             )
             buf = []
@@ -568,7 +610,7 @@ def _knn_residual_scan(
         parts.append(
             _residual_scan_chunk(
                 bad_q, data, k, part_cols, key_cols, buf,
-                q_lat, q_lon, d_lat, d_lon, d_id,
+                q_lat, q_lon, d_lat, d_lon, d_id, quantize=quantize,
             )
         )
     if not parts:
@@ -594,6 +636,7 @@ def _residual_scan_chunk(
     d_lat: str,
     d_lon: str,
     d_id: str,
+    quantize: float | None = None,
 ) -> DataFrame:
     spark = bad_q.sparkSession
     qpdf = pd.DataFrame([r.asDict() for r in rows], columns=key_cols)
@@ -616,6 +659,7 @@ def _residual_scan_chunk(
                 pdf[d_lon].to_numpy(np.float64),
                 pdf[d_id].to_numpy(np.int64),
                 k,
+                quantize=quantize,
             )
             cat_d = np.concatenate([best_d, dists], axis=1)
             cat_i = np.concatenate([best_i, ids], axis=1)
@@ -662,6 +706,7 @@ def knn_tiled(
     q_id: str | None = None,
     max_escalations: int = 2,
     counters: dict | None = None,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Exact distributed kNN for a LARGE data side (SURVEY.md J8).
 
@@ -706,7 +751,9 @@ def knn_tiled(
     from rios_spark.margin import OWNER, with_margin
 
     if ring == "auto":
-        n_data = data.count()
+        from rios_spark.ann import fast_count
+
+        n_data = fast_count(data)
         if k >= n_data:
             # every query's answer is ALL data rows: no ring can prove
             # anything and the data side is <= k rows — small by
@@ -719,7 +766,7 @@ def knn_tiled(
             ).toPandas()
             return knn_bruteforce(
                 queries, pdf, k, q_lat=q_lat, q_lon=q_lon,
-                d_lat="lat", d_lon="lon", d_id="id",
+                d_lat="lat", d_lon="lon", d_id="id", quantize=quantize,
             ).withColumn("rank", F.col("rank").cast("int"))
         density = n_data / float((1 << res) ** 2)
         # target enough expected candidates that the k-th distance sits
@@ -749,7 +796,14 @@ def knn_tiled(
     # candidate join producing it): the completeness check below and the
     # final output would otherwise EACH re-execute the join+window
     # (actions do not share shuffle stages across jobs)
-    ranked = _rank_and_prove(cand, part_cols, k, res, ring, q_lat, q_lon).persist()
+    ranked = _rank_and_prove(
+        cand, part_cols, k, res, ring, q_lat, q_lon, quantize=quantize
+    ).persist()
+    # every persisted intermediate is registered so the NEXT knn_tiled
+    # call (or an explicit session.release_caches) frees this one's
+    # executor cache — a long-lived session no longer accumulates
+    # control frames until eviction pressure (ADVICE r3)
+    cached: list[DataFrame] = [ranked]
     outs = [ranked.filter(F.col("__proved")).select(*out_cols)]
     # per-query escalation plan: an unproven query with >= k candidates
     # KNOWS its k-th distance, hence exactly how wide a ring certifies
@@ -765,6 +819,14 @@ def knn_tiled(
         )
         .persist()
     )
+    cached.append(bad_keys)
+
+    def _finish(df: DataFrame) -> DataFrame:
+        from rios_spark.session import track_caches
+
+        track_caches(queries.sparkSession, "knn_tiled", cached)
+        return df
+
     n = 1 << res
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
     # residue with no usable distance bound (< k candidates seen) or
@@ -788,7 +850,7 @@ def knn_tiled(
         counters["ring0"] = ring
         counters["unproven_pass0"] = n_bad
     if n_bad == 0:
-        return _union_all(outs)
+        return _finish(_union_all(outs))
 
     n_residual = 0
     residual_parts: list[DataFrame] = []
@@ -846,8 +908,10 @@ def knn_tiled(
         )
         cand_r = probe.join(d_plain, "__probe", "left").drop("__probe")
         ranked_r = _rank_and_prove(
-            cand_r, part_cols, k, res, F.col("__radius"), q_lat, q_lon
+            cand_r, part_cols, k, res, F.col("__radius"), q_lat, q_lon,
+            quantize=quantize,
         ).persist()
+        cached.append(ranked_r)
         outs.append(ranked_r.filter(F.col("__proved")).select(*out_cols))
         bad_keys = (
             ranked_r.filter(~F.col("__proved"))
@@ -859,6 +923,7 @@ def knn_tiled(
             )
             .persist()
         )
+        cached.append(bad_keys)
         n_bad, n_esc = _residue_stats(bad_keys)
         if counters is not None:
             counters[f"unproven_escalation_{i}"] = n_bad
@@ -873,14 +938,15 @@ def knn_tiled(
     if counters is not None:
         counters["residual_scan"] = n_residual
     if n_residual == 0:
-        return _union_all(outs)
+        return _finish(_union_all(outs))
     residual_keys = _union_all(residual_parts).distinct()
     bad_q = queries.join(F.broadcast(residual_keys), part_cols, "left_semi")
     fixed = _knn_residual_scan(
-        bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id
+        bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id,
+        quantize=quantize,
     ).select(*qcols, "neighbor_id", "dist_km", F.col("rank").cast("int").alias("rank"))
     outs.append(fixed)
-    return _union_all(outs)
+    return _finish(_union_all(outs))
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
@@ -909,12 +975,12 @@ def knn_join(
     distance matrices are independently capped by KNN_GEMM_BUDGET, so
     task memory stays bounded regardless of Arrow batch size x data
     size (the round-1 hazard was a 65k x 2M = ~1 TB matrix)."""
-    from rios_spark.ann import ensure_parallelism
+    from rios_spark.ann import ensure_parallelism, fast_count
 
     d_id = kwargs.get("d_id", "id")
     d_lat = kwargs.get("d_lat", "lat")
     d_lon = kwargs.get("d_lon", "lon")
-    n = data.count()
+    n = fast_count(data)
     # k >= n means every query's answer is ALL data rows: the tiled
     # path's guard can never certify anything (ADVICE r2) — the
     # broadcast brute path is the only sensible plan, and n <= k is
@@ -929,6 +995,7 @@ def knn_join(
             ensure_parallelism(queries), pdf, k,
             q_lat=kwargs.get("q_lat", "lat"), q_lon=kwargs.get("q_lon", "lon"),
             d_lat="lat", d_lon="lon", d_id="id",
+            quantize=kwargs.get("quantize"),
         )
     return knn_tiled(queries, data, k, res, **kwargs)
 

@@ -110,16 +110,27 @@ def test_spark_parent_and_kring_cols(spark):
 
 
 def test_geocode_parity(spark):
+    """FOUR-way bit-exact parity: DuckDB SQL == Spark Column == Spark
+    SQL-expr == each other. The Spark SQL-EXPR leg is the one `_geo`
+    actually runs, and it is the leg the r3 regression broke: a plain
+    `4294967296.0` literal is DECIMAL in Spark SQL, whose capped-scale
+    rounding shifted lat/lon ~1e-10 deg off the double/DuckDB values
+    while this test (then Column-only) stayed green."""
     keys = pd.DataFrame({"k": np.arange(1, 5000, dtype=np.int64)})
     lat_sql, lon_sql = grid.geocode_sql("k")
     con = duckdb.connect()
     con.register("t", keys)
-    duck = con.execute(f"select {lat_sql} as lat, {lon_sql} as lon from t").df()
+    duck = con.execute(
+        f"select cast({lat_sql} as double) as lat, cast({lon_sql} as double) as lon from t"
+    ).df()
     sdf = spark.createDataFrame(keys)
     lat_c, lon_c = grid.geocode_cols("k")
     sp = sdf.select(lat_c.alias("lat"), lon_c.alias("lon")).toPandas()
-    assert np.array_equal(duck["lat"].to_numpy(), sp["lat"].to_numpy())
-    assert np.array_equal(duck["lon"].to_numpy(), sp["lon"].to_numpy())
+    spx = sdf.selectExpr(f"{lat_sql} as lat", f"{lon_sql} as lon").toPandas()
+    assert np.array_equal(duck["lat"].to_numpy(np.float64), sp["lat"].to_numpy())
+    assert np.array_equal(duck["lon"].to_numpy(np.float64), sp["lon"].to_numpy())
+    assert np.array_equal(spx["lat"].to_numpy(), sp["lat"].to_numpy())
+    assert np.array_equal(spx["lon"].to_numpy(), sp["lon"].to_numpy())
     assert duck["lat"].between(-85, 85).all()
     assert duck["lon"].between(-180, 180).all()
 
@@ -382,6 +393,57 @@ def test_prop_parent_nesting(lat, lon, res, up):
     fine = grid.np_cell(np.array([lat]), np.array([lon]), res)
     coarse = grid.np_cell(np.array([lat]), np.array([lon]), pres)
     assert grid.np_parent(fine, pres)[0] == coarse[0]
+
+
+# the three floor-stabilization grids used by the query inventory:
+# _f6 means (1e-6), knn dist_km (1e-5 km), UTM easting/northing (0.1 m)
+_FLOOR_SCALES = [1e6, 1e5, 10.0]
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    g=st.integers(min_value=1, max_value=10**10),
+    scale_i=st.integers(min_value=0, max_value=2),
+    k=st.integers(min_value=-8, max_value=8),
+)
+def test_prop_epsilon_floor_grid_stability(g, scale_i, k):
+    """The permanent guard for the r3 fcb9933 class of regression: a
+    true value ON a floor grid line, perturbed by up to 8 ulps in
+    either direction (the cross-engine noise model), must quantize to
+    the SAME grid point as the unperturbed value under the epsilon-
+    floor (floor(v*s + 1e-3)/s). Plain floor fails this for k < 0 —
+    which is exactly how knn/utm shipped red in round 3."""
+    s = _FLOOR_SCALES[scale_i]
+    v = g / s  # the fp value nearest the grid line
+    v_pert = v + k * np.spacing(v)
+    q0 = np.floor(v * s + 1e-3) / s
+    qk = np.floor(v_pert * s + 1e-3) / s
+    assert q0 == qk
+
+
+def test_epsilon_floor_engine_parity(spark):
+    """Spark and DuckDB evaluate the epsilon-floor IDENTICALLY on an
+    adversarial batch: values within a few ulps of every grid across 6
+    orders of magnitude, plus exact grid-line values — one vectorized
+    job per engine over the same doubles."""
+    rng = np.random.default_rng(9)
+    for s, s_lit in [(1e6, "1e6"), (1e5, "1e5"), (10.0, "1e1")]:
+        gs = rng.integers(1, 10**10, 4000)
+        vs = gs / s
+        ks = rng.integers(-8, 9, 4000)
+        vals = np.concatenate([vs, vs + ks * np.spacing(vs)])
+        pdf = pd.DataFrame({"v": vals})
+        expr = f"floor(v * {s_lit} + 1e-3) / {s_lit}"
+        sp = (
+            spark.createDataFrame(pdf)
+            .selectExpr(f"{expr} as q")
+            .toPandas()["q"]
+            .to_numpy()
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        dk = con.execute(f"select {expr} as q from t").df()["q"].to_numpy()
+        assert np.array_equal(sp, dk), f"scale {s}: engines disagree"
 
 
 def test_utm_roundtrip_all_zones_one_job(spark):
