@@ -435,13 +435,13 @@ def ivf_search(
             rep["list_id"] = all_lists.ravel()
             yield rep[[q_id, q_emb, "list_id"]]
 
+    from rios_spark.session import track_caches
+
     probed = queries.select(q_id, q_emb).mapInPandas(
         assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
     ).persist()
-    # registered so the next search (or session.release_caches) frees
-    # this call's cache — no unbounded growth in a long session (ADVICE r3)
-    from rios_spark.session import track_caches
-
+    # registered so the next plan-distinct search (or an explicit
+    # session.release_caches) frees this call's cache (ADVICE r3)
     track_caches(spark, "ivf_search", [probed])
     # static partition pruning: the distinct probed lists are bounded by
     # n_centroids * shards — push them into the read as a filter
@@ -783,11 +783,11 @@ def ivf_pq_search(
             rep["list_id"] = all_lists.ravel()
             yield rep[[q_id, q_emb, "list_id"]]
 
+    from rios_spark.session import track_caches
+
     probed = queries.select(q_id, q_emb).mapInPandas(
         assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
     ).persist()
-    from rios_spark.session import track_caches
-
     track_caches(spark, "ivf_pq_search", [probed])
     probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
     pruned = codes.filter(F.col("list_id").isin(probe_ids))

@@ -74,15 +74,33 @@ def stop_spark() -> None:
 _CACHE_REGISTRY_ATTR = "_rios_spark_cache_registry"
 
 
+def _semantic_hash(df) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return None
+
+
 def track_caches(spark: SparkSession, key: str, frames: list) -> None:
     """Register `frames` (persisted DataFrames) as the live intermediate
-    caches for operator `key`, releasing whatever the previous call with
-    the same key had registered."""
+    caches for operator `key`, releasing the previous generation's
+    frames EXCEPT those whose plan the new generation reuses. Spark's
+    CacheManager keys entries by canonicalized plan, so an identical
+    repeated call SHARES the previous call's cache entries — blindly
+    unpersisting the old generation would evict the very cache the new
+    result is about to consume (measured 1.9 s -> 4.3 s on back-to-back
+    identical kNN calls). Plan-distinct old frames are released, so a
+    long session holds at most one generation of distinct plans per
+    operator; shared-plan entries are held once by construction."""
     reg = getattr(spark, _CACHE_REGISTRY_ATTR, None)
     if reg is None:
         reg = {}
         setattr(spark, _CACHE_REGISTRY_ATTR, reg)
-    for df in reg.get(key, ()):  # release the previous generation
+    new_hashes = {h for h in (_semantic_hash(df) for df in frames) if h is not None}
+    for df in reg.get(key, ()):
+        h = _semantic_hash(df)
+        if h is not None and h in new_hashes:
+            continue  # same plan = same cache entry the new call uses
         try:
             df.unpersist(blocking=False)
         except Exception:
