@@ -170,15 +170,33 @@ def fast_count(df: DataFrame) -> int:
     return df.count() if n is None else n
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+# below this many rows per task, fan-out costs more than it buys: each
+# extra partition spins a python worker (~10 ms) while the kernel's
+# per-row cost is microseconds
+ENSURE_PARALLELISM_ROWS_PER_TASK = 2048
+
+
+def ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, rows_hint: int | None = None
+) -> DataFrame:
     """Repartition a DataFrame that is under-parallelized for a
     broadcast-side Arrow kernel. A small-SF parquet table often arrives
     as ONE scan partition (a single file under maxPartitionBytes), so a
     mapInPandas kernel runs on one core; at production scale the input
     already has many partitions and this is a no-op — the round-trip
-    shuffle only ever happens on inputs small enough that it is cheap."""
+    shuffle only ever happens on inputs small enough that it is cheap.
+
+    rows_hint (optional, caller-known row count or upper bound) sizes
+    the fan-out: a 20-row query frame repartitioned to 32 partitions
+    pays ~0.3 s spinning 32 python workers for microseconds of kernel
+    work (the r3 embedding_topk dispatch overhead), so tiny frames stay
+    put and mid-size frames fan out only as wide as ~2048 rows/task."""
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
+    if rows_hint is not None:
+        target = min(target, max(1, rows_hint // ENSURE_PARALLELISM_ROWS_PER_TASK))
+        if target <= 1:
+            return df
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
@@ -210,7 +228,8 @@ def cosine_topk(
     if n <= broadcast_threshold:
         pdf = data.select(d_id, d_emb).toPandas()
         return cosine_topk_bruteforce(
-            ensure_parallelism(queries), pdf, k,
+            ensure_parallelism(queries, rows_hint=kwargs.get("q_rows_hint")),
+            pdf, k,
             q_id=q_id, q_emb=q_emb, d_id=d_id, d_emb=d_emb,
         )
     nc = min(n_centroids, max(1, n // 64))

@@ -1003,7 +1003,9 @@ def q_embedding_topk(spark, sf_dir):
     )
     from rios_spark import ann
 
-    out = ann.cosine_topk(queries, embs, 5, q_id="qid")
+    # q_rows_hint: the filter bounds the query side at 20 rows — the
+    # kernel fan-out sizes itself instead of paying a 32-way shuffle
+    out = ann.cosine_topk(queries, embs, 5, q_id="qid", q_rows_hint=20)
     return out.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
