@@ -1036,8 +1036,15 @@ def resample_join(
     """
     if method not in RESAMPLE_K:
         raise ValueError(f"unknown resample method {method!r}")
+    from rios_spark.ann import ensure_parallelism
+
     k = RESAMPLE_K[method]
-    kn = knn_bruteforce(queries, data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id)
+    # a single-file query table scans as ONE partition and would run
+    # the Arrow kernel on one core (the r3 knn_join lesson — this call
+    # site was missed); no-op at scale
+    kn = knn_bruteforce(
+        ensure_parallelism(queries), data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id
+    )
     vals = queries.sparkSession.createDataFrame(
         data[[d_id, value_col]].rename(columns={d_id: "neighbor_id", value_col: "__v"})
     )
