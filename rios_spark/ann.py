@@ -227,8 +227,13 @@ def cosine_topk(
     n = fast_count(data)
     if n <= broadcast_threshold:
         pdf = data.select(d_id, d_emb).toPandas()
+        # caller hint first; else a free footer count when the query
+        # plan is provably count-preserving (None = no hint, never a job)
+        q_hint = kwargs.get("q_rows_hint")
+        if q_hint is None:
+            q_hint = _metadata_row_count(queries)
         return cosine_topk_bruteforce(
-            ensure_parallelism(queries, rows_hint=kwargs.get("q_rows_hint")),
+            ensure_parallelism(queries, rows_hint=q_hint),
             pdf, k,
             q_id=q_id, q_emb=q_emb, d_id=d_id, d_emb=d_emb,
         )

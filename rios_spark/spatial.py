@@ -975,7 +975,7 @@ def knn_join(
     distance matrices are independently capped by KNN_GEMM_BUDGET, so
     task memory stays bounded regardless of Arrow batch size x data
     size (the round-1 hazard was a 65k x 2M = ~1 TB matrix)."""
-    from rios_spark.ann import ensure_parallelism, fast_count
+    from rios_spark.ann import _metadata_row_count, ensure_parallelism, fast_count
 
     d_id = kwargs.get("d_id", "id")
     d_lat = kwargs.get("d_lat", "lat")
@@ -990,9 +990,12 @@ def knn_join(
             F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
         ).toPandas()
         # a small-SF query table often scans as ONE partition — spread
-        # the Arrow kernel across the cluster (no-op at scale)
+        # the Arrow kernel across the cluster (no-op at scale); a free
+        # footer count on a count-preserving query plan sizes the
+        # fan-out so tiny frames don't pay a full-width shuffle
         return knn_bruteforce(
-            ensure_parallelism(queries), pdf, k,
+            ensure_parallelism(queries, rows_hint=_metadata_row_count(queries)),
+            pdf, k,
             q_lat=kwargs.get("q_lat", "lat"), q_lon=kwargs.get("q_lon", "lon"),
             d_lat="lat", d_lon="lon", d_id="id",
             quantize=kwargs.get("quantize"),
@@ -1036,14 +1039,15 @@ def resample_join(
     """
     if method not in RESAMPLE_K:
         raise ValueError(f"unknown resample method {method!r}")
-    from rios_spark.ann import ensure_parallelism
+    from rios_spark.ann import _metadata_row_count, ensure_parallelism
 
     k = RESAMPLE_K[method]
     # a single-file query table scans as ONE partition and would run
     # the Arrow kernel on one core (the r3 knn_join lesson — this call
     # site was missed); no-op at scale
     kn = knn_bruteforce(
-        ensure_parallelism(queries), data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id
+        ensure_parallelism(queries, rows_hint=_metadata_row_count(queries)),
+        data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id,
     )
     vals = queries.sparkSession.createDataFrame(
         data[[d_id, value_col]].rename(columns={d_id: "neighbor_id", value_col: "__v"})
