@@ -823,6 +823,18 @@ SELECT hour, event_type, n, floor(vs / n * 1000000.0) / 1000000.0 AS value_mean 
 # --- T: text / dedup / embeddings ---------------------------------------------
 
 
+def q_doc_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (Manber-style 0-mod-p k-gram
+    sampling, textops.doc_fingerprints): position-independent shingle
+    fingerprints per doc, entirely JVM-side (codegen'd Horner hash over
+    exploded positions + map-side sample filter + one distinct)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.doc_fingerprints(docs)
+
+
+O_DOC_FINGERPRINTS = textops.doc_fingerprints_sql()
+
+
 def q_doc_text_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1482,6 +1494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_revenue": q_top_orders_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
+    "doc_fingerprints": q_doc_fingerprints,
     "doc_text_metrics": q_doc_text_metrics,
     "doc_lang_scores": q_doc_lang_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -1526,6 +1539,7 @@ ORACLES: dict[str, str] = {
     "top_orders_revenue": O_TOP_ORDERS_REVENUE,
     "revenue_by_nation": O_REVENUE_BY_NATION,
     "events_hourly": O_EVENTS_HOURLY,
+    "doc_fingerprints": O_DOC_FINGERPRINTS,
     "doc_text_metrics": O_DOC_TEXT_METRICS,
     "doc_lang_scores": O_DOC_LANG_SCORES,
     "exact_dedup_docs": O_EXACT_DEDUP_DOCS,

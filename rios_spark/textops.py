@@ -92,6 +92,93 @@ def fingerprint_sql_duckdb(text_expr: str) -> str:
     return f"(('0x' || substr(md5({text_expr}), 1, 15))::BIGINT)"
 
 
+# --- rolling-hash document fingerprints (Manber-style 0-mod-p sampling) -------
+
+# polynomial rolling-hash parameters: base 131 over char codes, modulus
+# 2^31-1 folded at every step so every intermediate fits int64 exactly
+# the same way in Spark, DuckDB and numpy (acc < 2^31, acc*131 + 127 <
+# 2^39). A Mersenne-61 modulus (dedup.MERSENNE61) would overflow int64
+# under the per-step multiply.
+FP_K = 8
+FP_BASE = 131
+FP_MOD = 2147483647
+FP_SAMPLE_MOD = 64
+
+
+def kgram_hash_sql(text_expr: str, pos_expr: str, k: int = FP_K) -> str:
+    """Shared SQL text hashing the k-gram at 1-based position `pos_expr`
+    of `text_expr` — Horner's polynomial over character codes with the
+    modulus folded at each step. The IDENTICAL string runs on Spark and
+    DuckDB (ascii() returns the first character's code point in both),
+    so the oracle needs no re-derivation."""
+    # BIGINT from the first term: ascii() is INT in Spark, and the
+    # Horner multiply overflows int32 (ANSI mode raises)
+    h = f"(cast(ascii(substr({text_expr}, ({pos_expr}), 1)) as bigint) % {FP_MOD})"
+    for j in range(1, k):
+        h = (
+            f"(({h} * {FP_BASE}"
+            f" + ascii(substr({text_expr}, ({pos_expr}) + {j}, 1))) % {FP_MOD})"
+        )
+    return h
+
+
+def doc_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = FP_K,
+    sample_mod: int = FP_SAMPLE_MOD,
+):
+    """Rolling-hash document fingerprinting (the training-data op the
+    build spec names): hash every character k-gram, keep the ~1/p
+    sample whose hash ≡ 0 (mod p), distinct per document. A shared
+    shingle surviving in two documents yields the same fingerprint
+    regardless of its offset — the position-independent near-dup /
+    provenance signal (Manber's sif / winnowing-family scheme).
+
+    Entirely JVM-side: positions explode via sequence(), the hash is a
+    codegen'd arithmetic expression — no Python, one shuffle (the
+    distinct). Docs shorter than k emit nothing. Scale shape: the
+    explode emits length(text) rows per doc BEFORE the sample filter,
+    but filter + partial-distinct run map-side, so only sampled
+    (doc_id, fp) pairs — ~len/p rows — reach the shuffle."""
+    h = kgram_hash_sql(text_col, "i", k)
+    return (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            id_col,
+            text_col,
+            F.expr(f"explode(sequence(1, length({text_col}) - {k - 1}))").alias("i"),
+        )
+        .select(id_col, F.expr(h).alias("fp"))
+        .filter(F.col("fp") % sample_mod == 0)
+        .distinct()
+    )
+
+
+def doc_fingerprints_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = FP_K,
+    sample_mod: int = FP_SAMPLE_MOD,
+) -> str:
+    """DuckDB oracle for doc_fingerprints — the same kgram_hash_sql
+    text over unnest(generate_series) positions (DuckDB's range() is
+    not lateral-capable; generate_series is)."""
+    h = kgram_hash_sql(text_col, "i", k)
+    return f"""
+SELECT {id_col}, fp FROM (
+  SELECT {id_col}, {h} AS fp FROM (
+    SELECT {id_col}, {text_col},
+           unnest(generate_series(1, length({text_col}) - {k - 1})) AS i
+    FROM {table} WHERE length({text_col}) >= {k})
+)
+WHERE fp % {sample_mod} = 0
+GROUP BY {id_col}, fp
+"""
+
+
 # --- language id -------------------------------------------------------------
 
 _LANG_STOPWORDS = {lang: frozenset(words) for lang, words in _VOCAB.items()}

@@ -82,6 +82,47 @@ def test_fingerprint_matches_duckdb(spark, docs):
     assert (got["fp"].to_numpy() == want["fp"].to_numpy()).all()
 
 
+def test_doc_fingerprints_rolling(spark):
+    """Rolling-hash fingerprints (Manber 0-mod-p k-gram sampling) are
+    POSITION-INDEPENDENT: a shared shingle yields the same fingerprint
+    at any offset, so two docs sharing a long substring share its
+    sampled fingerprints. Docs shorter than k emit nothing. A numpy
+    re-derivation pins the Spark arithmetic."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "PREFIX AAA " + shared,
+                shared + " ZZZ completely different tail here",
+                "no overlap with the others at all, none whatsoever",
+                "short",  # < k: no fingerprints
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = textops.doc_fingerprints(df).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    # numpy reference: same Horner hash, same sampling
+    def ref(text):
+        out = set()
+        for i in range(len(text) - textops.FP_K + 1):
+            h = 0
+            for ch in text[i : i + textops.FP_K]:
+                h = (h * textops.FP_BASE + ord(ch)) % textops.FP_MOD
+            if h % textops.FP_SAMPLE_MOD == 0:
+                out.add(h)
+        return out
+    for d in (1, 2, 3):
+        assert by_doc.get(d, set()) == ref(pdf["text"][d - 1])
+    assert 4 not in by_doc
+    # interior shingles of the shared substring fingerprint identically
+    # in docs 1 and 2 despite different offsets
+    shared_fps = ref(shared)
+    if shared_fps:  # sampling may legitimately select none
+        assert shared_fps <= by_doc[1] and shared_fps <= by_doc[2]
+
+
 def test_lang_id_on_pages(spark):
     pages = datagen.gen_pages(600)
     df = spark.createDataFrame(pages[["page_id", "text", "lang"]])
