@@ -1,11 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 The engine lives in rios_spark/ (see SURVEY.md §2 for the operator
-inventory these queries cover). Every queries() entry has a matching
+inventory these queries cover). EVERY queries() entry has a matching
 oracle_sql() DuckDB statement computing the same result with identical
-arithmetic, except the two documented rows-only entries (simhash_docs,
-media_image_features — md5-bit voting and binary fixtures are not
-SQL-expressible). Self-check: python tools/check_oracles.py
+arithmetic — as of r4 including simhash_docs (md5-bit voting expressed
+in SQL) and media_image_features (the deterministic fixture re-derived
+driver-side as a constant table). Self-check:
+python tools/check_oracles.py
 """
 
 from __future__ import annotations
