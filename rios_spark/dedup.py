@@ -260,6 +260,82 @@ def simhash_pairs(
     )
 
 
+# --- rolling-hash fingerprint near-dup ---------------------------------------
+
+
+def fingerprint_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sample_mod: int = 64,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared rolling-hash fingerprints
+    (textops.doc_fingerprints): docs sharing >= min_shared sampled
+    k-gram fingerprints. The copy-detection scheme of Manber's sif —
+    position-independent, so plagiarized/mirrored passages match at
+    any offset, complementary to minhash (whole-doc similarity) and
+    simhash (bit-vote distance).
+
+    Scale shape: candidates come from a fingerprint EQUI-join — never
+    all-pairs. A fingerprint shared by f docs emits f^2 pairs, so
+    non-discriminative fingerprints (boilerplate shingles appearing in
+    > max_df docs) are dropped first: the same stop-shingle guard every
+    production copy-detector applies, and the hot-bucket bound that
+    keeps the join linear-ish at corpus scale.
+
+    Output: (id1, id2, n_shared), id1 < id2."""
+    from pyspark.sql.window import Window
+
+    from rios_spark.textops import doc_fingerprints
+
+    fps = doc_fingerprints(df, text_col, id_col, k, sample_mod)
+    # document-frequency guard as a window over the SAME fp
+    # partitioning the self-join needs — one computation of the
+    # fingerprint set, no second aggregate+semi-join pass over it
+    kept = (
+        fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+    a = kept.select(F.col(id_col).alias("id1"), "fp")
+    b = kept.select(F.col(id_col).alias("id2"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def fingerprint_near_dup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    sample_mod: int = 64,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    """DuckDB oracle for fingerprint_near_dup_pairs."""
+    from rios_spark.textops import doc_fingerprints_sql
+
+    fp_sql = doc_fingerprints_sql(table, text_col, id_col, k, sample_mod)
+    return f"""
+WITH fps AS ({fp_sql}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}),
+kept AS (SELECT f.* FROM fps f JOIN rare USING (fp))
+SELECT a.{id_col} AS id1, b.{id_col} AS id2, count(*) AS n_shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
 # --- embedding cosine --------------------------------------------------------
 
 _PAIR_SCHEMA = "id1 long, id2 long, cosine double"

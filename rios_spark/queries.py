@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rios_spark import spatial, textops
-from rios_spark.dedup import MERSENNE61
+from rios_spark.dedup import MERSENNE61, fingerprint_near_dup_sql
 from rios_spark.grid import (
     RES_MUL,
     Y_MUL,
@@ -835,6 +835,22 @@ def q_doc_fingerprints(spark, sf_dir):
 O_DOC_FINGERPRINTS = textops.doc_fingerprints_sql()
 
 
+def q_fingerprint_near_dup_docs(spark, sf_dir):
+    """Copy-detection near-dup pairs from shared rolling-hash
+    fingerprints (dedup.fingerprint_near_dup_pairs): fingerprint
+    equi-join with a stop-shingle document-frequency guard — never
+    all-pairs. sample_mod=16 keeps ~4x more shingle samples than the
+    standalone fingerprint query so the pair evidence is non-trivial
+    at driver scale."""
+    from rios_spark.dedup import fingerprint_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_near_dup_pairs(docs, sample_mod=16, min_shared=2)
+
+
+O_FINGERPRINT_NEAR_DUP_DOCS = fingerprint_near_dup_sql(sample_mod=16, min_shared=2)
+
+
 def q_doc_text_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1495,6 +1511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
     "doc_fingerprints": q_doc_fingerprints,
+    "fingerprint_near_dup_docs": q_fingerprint_near_dup_docs,
     "doc_text_metrics": q_doc_text_metrics,
     "doc_lang_scores": q_doc_lang_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
@@ -1540,6 +1557,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": O_REVENUE_BY_NATION,
     "events_hourly": O_EVENTS_HOURLY,
     "doc_fingerprints": O_DOC_FINGERPRINTS,
+    "fingerprint_near_dup_docs": O_FINGERPRINT_NEAR_DUP_DOCS,
     "doc_text_metrics": O_DOC_TEXT_METRICS,
     "doc_lang_scores": O_DOC_LANG_SCORES,
     "exact_dedup_docs": O_EXACT_DEDUP_DOCS,

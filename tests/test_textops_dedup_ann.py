@@ -123,6 +123,37 @@ def test_doc_fingerprints_rolling(spark):
         assert shared_fps <= by_doc[1] and shared_fps <= by_doc[2]
 
 
+def test_fingerprint_near_dup_pairs(spark):
+    """Planted passage-copies are found via shared fingerprints at ANY
+    offset; unrelated docs are not paired; a boilerplate shingle shared
+    by every doc is suppressed by the max_df stop-shingle guard."""
+    rng = np.random.default_rng(11)
+
+    def uniq_text(tag, n):
+        # per-doc vocabulary: cross-doc shingles can only come from the
+        # planted passage or the boilerplate
+        return " ".join(f"w{tag}q{int(j)}" for j in rng.integers(0, 40, n))
+
+    passage = "the copied incriminating passage " + uniq_text("shared", 40)
+    boiler = "standard footer text present everywhere on this site"
+    rows = []
+    for i in range(20):
+        body = uniq_text(i, 60)
+        if i == 3:
+            body = uniq_text(i, 5) + " " + passage
+        elif i == 7:
+            body = passage + " " + uniq_text(i, 9)
+        rows.append((i, body + " " + boiler))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.fingerprint_near_dup_pairs(
+        df, sample_mod=8, min_shared=2, max_df=5
+    ).toPandas()
+    got = set(map(tuple, pairs[["id1", "id2"]].itertuples(index=False)))
+    # exactly the planted pair: the passage matches at different
+    # offsets; the boilerplate (df=20 > max_df) pairs nobody
+    assert got == {(3, 7)}, f"expected only (3,7): {got}"
+
+
 def test_lang_id_on_pages(spark):
     pages = datagen.gen_pages(600)
     df = spark.createDataFrame(pages[["page_id", "text", "lang"]])
