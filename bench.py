@@ -419,6 +419,18 @@ def main() -> None:
 def _crossover_md(cx: dict) -> str:
     if not cx:
         return ""
+    rel = cx["indexed_qps"] / max(cx["adhoc_qps"], 1e-9)
+    if rel >= 1.1:
+        verdict = "the persisted index wins outright"
+    elif rel >= 0.9:
+        verdict = (
+            "the two paths tie — this corpus size IS the measured "
+            "crossover point; beyond it the ad-hoc path's per-call O(N) "
+            "assignment keeps growing while the index's partition-pruned "
+            "read stays ~nprobe/n_lists of the corpus"
+        )
+    else:
+        verdict = "the ad-hoc path still wins — the crossover lies higher"
     return f"""
 ### Build-the-index crossover ({cx['n_vectors']:,} vectors)
 
@@ -428,11 +440,10 @@ def _crossover_md(cx: dict) -> str:
 | IVF persisted index (partition-pruned search only) | {cx['indexed_qps']:,} |
 
 At the 200k-vector bench size the ad-hoc path wins (reading the
-assigned table back costs more than assigning 200k in-memory rows);
-at {cx['n_vectors']:,} vectors the per-call O(N) assignment dominates and
-the persisted index wins. Guidance: build the index once the corpus is
-several x the probed fraction (nprobe/n_lists) — for repeated serving
-queries, always.
+assigned table back costs more than assigning 200k in-memory rows); at
+{cx['n_vectors']:,} vectors {verdict}. Guidance: build the index once the
+corpus is several x the probed fraction (nprobe/n_lists) — for
+repeated serving queries, always.
 """
 
 

@@ -315,8 +315,9 @@ def ivf_build_index(
     in memory (200k/64-dim: ~240 ad-hoc vs ~140 indexed qps). The
     persisted index wins once the per-call O(N) assignment dominates
     the partition-pruned read (~nprobe/n_lists of the corpus): measured
-    at 1M vectors the indexed path is ahead, and the gap widens
-    linearly in N. For any repeatedly-queried serving corpus, build."""
+    crossover ≈ 1M vectors at 64 dims (147 vs 147 qps — a dead heat),
+    with the ad-hoc cost growing linearly in N beyond it. For any
+    repeatedly-queried serving corpus, build."""
     spark = data.sparkSession
     n_total = data.count()
     frac = min(1.0, sample_rows / max(n_total, 1))
