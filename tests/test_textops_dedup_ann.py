@@ -430,6 +430,35 @@ def test_ivf_persisted_index_search(spark, embs, tmp_path):
     assert hits / (5 * len(qdf)) >= 0.8
 
 
+def test_ivf_meta_protects_sparse_shards(spark, embs, tmp_path):
+    """ADVICE r3 regression pin: with ids that are all multiples of 4
+    and list_shards=4, only the residue-0 shard of every list is
+    populated, so the pre-meta `shards = (max(list_id)+1)//n_centroids`
+    inference derives a WRONG shard count and probes a different list
+    mapping than the one the index was written with (silent recall
+    collapse). The persisted meta table makes nprobe == n_centroids
+    exact regardless of which shards the ids happen to cover."""
+    from pyspark.sql import functions as F
+
+    sparse = embs.withColumn("vec_id", F.col("vec_id") * 4)
+    path = str(tmp_path / "ivf_sparse_idx")
+    ann.ivf_build_index(sparse, path, n_centroids=8, list_shards=4, seed=42)
+    # meta must exist and carry the build parameters
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    assert meta["n_centroids"] == 8 and meta["list_shards"] == 4
+
+    pdf = sparse.toPandas()
+    qdf = pdf.head(12)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    got = (
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
+
+
 def test_ivf_pq_compressed_search(spark, embs, tmp_path):
     """IVF-PQ: vectors stored as m uint8 codes (32x smaller than
     float32); ADC search scores from codes alone. Recall vs the exact
