@@ -835,6 +835,19 @@ def q_doc_fingerprints(spark, sf_dir):
 O_DOC_FINGERPRINTS = textops.doc_fingerprints_sql()
 
 
+def q_doc_fingerprints_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS scheme, textops
+    doc_fingerprints_winnow): min k-gram hash per w-window — the
+    variant with the guarantee that any shared substring of
+    >= w + k - 1 chars shares a fingerprint. Zero-shuffle higher-order
+    expressions on the Spark side; position-window MIN in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.doc_fingerprints_winnow(docs)
+
+
+O_DOC_FINGERPRINTS_WINNOW = textops.doc_fingerprints_winnow_sql()
+
+
 def q_fingerprint_near_dup_docs(spark, sf_dir):
     """Copy-detection near-dup pairs from shared rolling-hash
     fingerprints (dedup.fingerprint_near_dup_pairs): fingerprint
@@ -1511,6 +1524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_fingerprints_winnow": q_doc_fingerprints_winnow,
     "fingerprint_near_dup_docs": q_fingerprint_near_dup_docs,
     "doc_text_metrics": q_doc_text_metrics,
     "doc_lang_scores": q_doc_lang_scores,
@@ -1557,6 +1571,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": O_REVENUE_BY_NATION,
     "events_hourly": O_EVENTS_HOURLY,
     "doc_fingerprints": O_DOC_FINGERPRINTS,
+    "doc_fingerprints_winnow": O_DOC_FINGERPRINTS_WINNOW,
     "fingerprint_near_dup_docs": O_FINGERPRINT_NEAR_DUP_DOCS,
     "doc_text_metrics": O_DOC_TEXT_METRICS,
     "doc_lang_scores": O_DOC_LANG_SCORES,

@@ -137,31 +137,100 @@ def doc_fingerprints(
     provenance signal (Manber's sif / winnowing-family scheme).
 
     Entirely JVM-side higher-order expressions, ZERO shuffles: the
-    char-code array is built ONCE per doc, every k-gram hash comes from
-    transform+slice over it (O(len*k) — a first cut exploded positions
-    and called substr(text, i, 1) per character, which is O(len^2) on
-    UTF8 strings and measured 9.5 s at sf0.1; this form is ~0.4 s),
-    sampling and per-doc dedup happen INSIDE the array (filter +
-    array_distinct), and only the ~len/p surviving fingerprints are
-    exploded. Docs shorter than k emit nothing."""
+    char-code array is built ONCE per doc (bound via the
+    single-element-array LET idiom — a plain projection alias gets
+    inlined by CollapseProject into the position lambda, re-evaluating
+    split+transform per position, O(len^2); a first cut with
+    substr(text, i, 1) per character had the same quadratic shape and
+    measured 9.5 s at sf0.1), every k-gram hash comes from
+    transform+slice over the bound array (O(len*k)), sampling and
+    per-doc dedup happen INSIDE the array (filter + array_distinct),
+    and only the ~len/p surviving fingerprints are exploded. Docs
+    shorter than k emit nothing."""
+    codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
     fps_arr = (
-        f"array_distinct(filter("
+        f"transform(array({codes}), cs ->"
+        f" array_distinct(filter("
         f"  transform(sequence(1, length({text_col}) - {k - 1}),"
-        f"    i -> aggregate(slice(__codes, i, {k}), cast(0 as bigint),"
+        f"    i -> aggregate(slice(cs, i, {k}), cast(0 as bigint),"
         f"         (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})),"
-        f"  h -> h % {sample_mod} = 0))"
+        f"  h -> h % {sample_mod} = 0)))[0]"
     )
     return (
         df.filter(F.length(text_col) >= k)
-        .select(
-            id_col,
-            text_col,
-            F.expr(
-                f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
-            ).alias("__codes"),
-        )
         .select(id_col, F.expr(f"explode({fps_arr})").alias("fp"))
     )
+
+
+def doc_fingerprints_winnow(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = FP_K,
+    w: int = 16,
+):
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): the minimum k-gram hash of every
+    w-window is selected, giving the guarantee 0-mod-p sampling lacks:
+    ANY shared substring of at least w + k - 1 characters shares at
+    least one fingerprint. Density ~2/(w+1) instead of 1/p.
+
+    Same zero-shuffle higher-order-expression shape as
+    doc_fingerprints: char codes and the k-gram hash array are each
+    LET-bound via the single-element-array idiom (a projection alias
+    would be inlined into the window lambda by CollapseProject,
+    re-evaluating the whole hash array per window — measured 48 s at
+    sf0.1 vs ~1 s bound), window minima via transform+array_min,
+    distinct inside the array, explode only the selected set. Emitting
+    VALUES (not positions) makes the output independent of which tied
+    position a window picks — set-identical to any winnowing
+    implementation. Docs shorter than w + k - 1 chars emit nothing."""
+    codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
+    hashes = (
+        f"transform(array({codes}), cs ->"
+        f" transform(sequence(1, length({text_col}) - {k - 1}),"
+        f"  i -> aggregate(slice(cs, i, {k}), cast(0 as bigint),"
+        f"       (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})))[0]"
+    )
+    winnowed = (
+        f"transform(array({hashes}), h ->"
+        f" array_distinct(transform("
+        f"  sequence(1, size(h) - {w - 1}),"
+        f"  j -> array_min(slice(h, j, {w})))))[0]"
+    )
+    return (
+        df.filter(F.length(text_col) >= k + w - 1)
+        .select(id_col, F.expr(f"explode({winnowed})").alias("fp"))
+    )
+
+
+def doc_fingerprints_winnow_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = FP_K,
+    w: int = 16,
+) -> str:
+    """DuckDB oracle for doc_fingerprints_winnow: the validated
+    substr-based k-gram hash per position, window MIN over the next w
+    positions (ROWS BETWEEN CURRENT AND w-1 FOLLOWING), distinct.
+    Values-only output makes tie-position conventions irrelevant."""
+    h = kgram_hash_sql(text_col, "i", k)
+    return f"""
+SELECT DISTINCT {id_col}, fp FROM (
+  SELECT {id_col}, i,
+         min(hv) OVER (PARTITION BY {id_col} ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY {id_col}) AS npos
+  FROM (
+    SELECT {id_col}, i, {h} AS hv FROM (
+      SELECT {id_col}, {text_col},
+             unnest(generate_series(1, length({text_col}) - {k - 1})) AS i
+      FROM {table} WHERE length({text_col}) >= {k + w - 1})
+  )
+)
+WHERE i <= npos - {w - 1}
+"""
 
 
 def doc_fingerprints_sql(

@@ -123,6 +123,51 @@ def test_doc_fingerprints_rolling(spark):
         assert shared_fps <= by_doc[1] and shared_fps <= by_doc[2]
 
 
+def test_doc_fingerprints_winnow_guarantee(spark):
+    """Winnowing's defining guarantee (SWA'03): ANY shared substring of
+    length >= w + k - 1 (= 23 here) between two docs yields at least
+    one shared fingerprint — no sampling luck involved, unlike 0-mod-p.
+    Also: every fingerprint is one of the doc's own k-gram hashes, and
+    a doc shorter than w + k - 1 emits nothing."""
+    rng = np.random.default_rng(5)
+
+    def uniq_text(tag, n):
+        return " ".join(f"z{tag}v{int(j)}" for j in rng.integers(0, 50, n))
+
+    shared = "exactly this shared span!"  # 25 chars >= w + k - 1 = 23
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                uniq_text(1, 30) + " " + shared + " " + uniq_text(1, 5),
+                shared + " " + uniq_text(2, 35),
+                "tiny",  # < w + k - 1
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = textops.doc_fingerprints_winnow(df, k=8, w=16).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert 3 not in by_doc
+
+    def all_kgram_hashes(text, k=8):
+        out = set()
+        for i in range(len(text) - k + 1):
+            h = 0
+            for ch in text[i : i + k]:
+                h = (h * textops.FP_BASE + ord(ch)) % textops.FP_MOD
+            out.add(h)
+        return out
+
+    for d in (1, 2):
+        assert by_doc[d] <= all_kgram_hashes(pdf["text"][d - 1])
+    # density: winnowing selects ~2/(w+1) of positions — far fewer
+    # fingerprints than k-grams, but at least one per w-window
+    n_pos = len(pdf["text"][0]) - 8 + 1
+    assert 1 <= len(by_doc[1]) <= n_pos / 2
+
+
 def test_fingerprint_near_dup_pairs(spark):
     """Planted passage-copies are found via shared fingerprints at ANY
     offset; unrelated docs are not paired; a boilerplate shingle shared
