@@ -168,6 +168,37 @@ def test_doc_fingerprints_winnow_guarantee(spark):
     assert 1 <= len(by_doc[1]) <= n_pos / 2
 
 
+def test_doc_fingerprints_winnow_guarantee_randomized(spark):
+    """The winnowing guarantee over 100 RANDOM planted pairs in one
+    batch job: docs 2i and 2i+1 share a random substring of length
+    w + k - 1 .. 3(w+k) at random offsets inside otherwise-disjoint
+    random text — every pair must share >= 1 fingerprint."""
+    rng = np.random.default_rng(23)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz 0123456789"))
+    k, w = 8, 16
+
+    def rand_s(n):
+        return "".join(rng.choice(alpha, n))
+
+    rows = []
+    for i in range(100):
+        shared = rand_s(int(rng.integers(w + k - 1, 3 * (w + k))))
+        # unique-alphabet prefix/suffix per doc (uppercase: disjoint
+        # from the shared/lowercase alphabet, so no accidental k-grams)
+        def pad(n):
+            return "".join(rng.choice(np.array(list("ABCDEFGHIJKLMNOP")), n))
+        rows.append((2 * i, pad(int(rng.integers(0, 60))) + shared + pad(int(rng.integers(0, 60)))))
+        rows.append((2 * i + 1, pad(int(rng.integers(0, 60))) + shared + pad(int(rng.integers(0, 60)))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = textops.doc_fingerprints_winnow(df, k=k, w=w).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+    misses = [
+        i for i in range(100)
+        if not (by_doc.get(2 * i, set()) & by_doc.get(2 * i + 1, set()))
+    ]
+    assert not misses, f"guarantee violated for pairs {misses[:5]}"
+
+
 def test_fingerprint_near_dup_pairs(spark):
     """Planted passage-copies are found via shared fingerprints at ANY
     offset; unrelated docs are not paired; a boilerplate shingle shared
