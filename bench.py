@@ -171,11 +171,16 @@ def bench_ann(spark) -> dict:
     ).toPandas()
     t_ivf = time.monotonic() - t0
 
-    # persisted index: the serving path — assignment cost paid at build
-    # time, searches only pay probe + pruned-scan + score
-    idx_path = os.path.join(os.path.dirname(PAGES_PATH), f"bench_ivf_idx_{N_VECS}")
+    # persisted COMBINED index (r5): ONE assignment pass writes the
+    # full-precision assigned table AND m=16 PQ codes under one meta —
+    # the serving path for both exact IVF search and the compressed ADC
+    # + in-place rerank (rerank_path == the same index, so (list_id,
+    # id) drift between codes and floats is impossible by construction)
+    idx_path = os.path.join(
+        os.path.dirname(PAGES_PATH), f"bench_ivf_combined_{N_VECS}"
+    )
     t0 = time.monotonic()
-    ann.ivf_build_index(vecs, idx_path, n_centroids=64, list_shards=4)
+    ann.ivf_build_index(vecs, idx_path, n_centroids=64, list_shards=4, pq=True, m=16)
     t_build = time.monotonic() - t0
     t0 = time.monotonic()
     idx = ann.ivf_search(
@@ -183,34 +188,44 @@ def bench_ann(spark) -> dict:
     ).toPandas()
     t_idx = time.monotonic() - t0
 
-    # IVF-PQ compressed index (uint8 ADC codes) + exact-rerank refine —
-    # published numbers for the 100-TB memory path, not just tests. The
-    # rerank reuses the full-precision index above (same
-    # n_centroids/list_shards/sample/seed -> identical list mapping).
-    # m=16 (4 dims/subspace, 16 B codes = 16x compression): measured
-    # ADC recall 0.56 vs 0.33 at m=8 on this clustered data; with the
-    # top-80 exact rerank the recall recovers to ~the nprobe ceiling
-    pq_path = os.path.join(os.path.dirname(PAGES_PATH), f"bench_ivfpq_idx_{N_VECS}")
-    if not os.path.exists(os.path.join(pq_path, "codes", "_SUCCESS")):
-        ann.ivf_pq_build_index(vecs, pq_path, n_centroids=64, list_shards=4, m=16)
+    # IVF-PQ ADC numbers for the 100-TB memory path. Encoding is
+    # auto-chosen by measured sample MSE (residual vs raw — on this
+    # weakly-clustered fixture E[v.c]=0.37 so RAW wins; see
+    # ann._train_pq_codebooks). m=16 = 16 B codes (16x compression);
+    # the m=32 index (32 B, still 8x) is the measured >= 0.75
+    # ADC-only-recall configuration.
+    pq_meta = ann._read_index_meta(spark, idx_path)
     t0 = time.monotonic()
-    pq = ann.ivf_pq_search(spark, pq_path, queries, 10, nprobe=24, q_id="qid").toPandas()
+    pq = ann.ivf_pq_search(spark, idx_path, queries, 10, nprobe=24, q_id="qid").toPandas()
     t_pq = time.monotonic() - t0
     t0 = time.monotonic()
     pqr = ann.ivf_pq_search(
-        spark, pq_path, queries, 10, nprobe=24, q_id="qid",
+        spark, idx_path, queries, 10, nprobe=24, q_id="qid",
         rerank_path=idx_path, rerank_factor=8,
     ).toPandas()
     t_pqr = time.monotonic() - t0
+
+    pq32_path = os.path.join(
+        os.path.dirname(PAGES_PATH), f"bench_ivfpq32_idx_{N_VECS}"
+    )
+    if not os.path.exists(os.path.join(pq32_path, "codes", "_SUCCESS")):
+        ann.ivf_pq_build_index(vecs, pq32_path, n_centroids=64, list_shards=4, m=32)
+    t0 = time.monotonic()
+    pq32 = ann.ivf_pq_search(
+        spark, pq32_path, queries, 10, nprobe=24, q_id="qid"
+    ).toPandas()
+    t_pq32 = time.monotonic() - t0
 
     bsets = {q: set(g["neighbor_id"]) for q, g in brute.groupby("qid")}
     isets = {q: set(g["neighbor_id"]) for q, g in ivf.groupby("qid")}
     xsets = {q: set(g["neighbor_id"]) for q, g in idx.groupby("qid")}
     psets = {q: set(g["neighbor_id"]) for q, g in pq.groupby("qid")}
+    p32sets = {q: set(g["neighbor_id"]) for q, g in pq32.groupby("qid")}
     rsets = {q: set(g["neighbor_id"]) for q, g in pqr.groupby("qid")}
     recall = sum(len(bsets[q] & isets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_idx = sum(len(bsets[q] & xsets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_pq = sum(len(bsets[q] & psets.get(q, set())) for q in bsets) / (10 * len(bsets))
+    recall_pq32 = sum(len(bsets[q] & p32sets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_pqr = sum(len(bsets[q] & rsets.get(q, set())) for q in bsets) / (10 * len(bsets))
 
     # crossover evidence (r3 VERDICT #6): at 200k vectors the AD-HOC
@@ -269,6 +284,9 @@ def bench_ann(spark) -> dict:
         "indexed_recall_at_10": round(recall_idx, 4),
         "pq_qps": round(n_q / t_pq, 1),
         "pq_recall_at_10": round(recall_pq, 4),
+        "pq_encoding": str(pq_meta.get("pq_encoding", "?")),
+        "pq32_qps": round(n_q / t_pq32, 1),
+        "pq32_recall_at_10": round(recall_pq32, 4),
         "pq_rerank_qps": round(n_q / t_pqr, 1),
         "pq_rerank_recall_at_10": round(recall_pqr, 4),
         "crossover": crossover,
@@ -526,13 +544,21 @@ escalation machinery, not just the happy path.
 |---|---|---|
 | brute force (exact) | {result['ann']['brute_qps']:,} | 1.0 |
 | IVF ad-hoc (64 lists, nprobe 24; trains per call) | {result['ann']['ivf_qps']:,} | {result['ann']['ivf_recall_at_10']} |
-| IVF persisted index (build {result['ann']['index_build_sec']} s once; partition-pruned search) | {result['ann']['indexed_qps']:,} | {result['ann']['indexed_recall_at_10']} |
-| IVF-PQ compressed (m=16 uint8 ADC codes, 16x smaller; floats never read) | {result['ann']['pq_qps']:,} | {result['ann']['pq_recall_at_10']} |
-| IVF-PQ + exact rerank (ADC top-80 refined against full-precision index) | {result['ann']['pq_rerank_qps']:,} | {result['ann']['pq_rerank_recall_at_10']} |
+| IVF persisted COMBINED index (build {result['ann']['index_build_sec']} s once: floats + PQ codes, one pass, one meta) | {result['ann']['indexed_qps']:,} | {result['ann']['indexed_recall_at_10']} |
+| IVF-PQ compressed (m=16 uint8 ADC codes, 16x smaller; floats never read; encoding={result['ann']['pq_encoding']}) | {result['ann']['pq_qps']:,} | {result['ann']['pq_recall_at_10']} |
+| IVF-PQ compressed (m=32 = 32 B codes, 8x smaller — the ADC-only recall configuration) | {result['ann']['pq32_qps']:,} | {result['ann']['pq32_recall_at_10']} |
+| IVF-PQ + exact IN-PLACE rerank (ADC top-80 refined against the same index's floats) | {result['ann']['pq_rerank_qps']:,} | {result['ann']['pq_rerank_recall_at_10']} |
 
 PQ/rerank recall is bounded above by the shared nprobe=24/64 probe set
 (the ad-hoc IVF row's recall); the rerank recovers quantization loss to
 near that ceiling while reading float vectors for candidates only.
+PQ codes use the encoding (raw vs coarse-centroid residual) that
+measured LOWER reconstruction MSE on the training sample at build time:
+residual only wins when the coarse centroids explain >half the cosine
+(E[v.c] > 0.5); on this weakly-clustered fixture E[v.c] ≈ 0.37 and raw
+wins (ADC recall 0.495 raw vs 0.453 residual at m=16, measured
+driver-side without probe loss). The m=32 row is the measured path to
+>= 0.75 standalone ADC recall at a still-8x compression.
 {_crossover_md(result['ann'].get('crossover') or {})}
 ## Reference points (BASELINE.md)
 

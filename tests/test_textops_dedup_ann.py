@@ -620,3 +620,124 @@ def test_ivf_pq_rerank_recovers_exactness(spark, embs, tmp_path):
     want = _brute_cosine_oracle(qdf, pdf, 5)
     for qid, grp in got.groupby("qid"):
         assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
+
+
+def test_ivf_meta_less_search_raises_and_backfill(spark, embs, tmp_path):
+    """VERDICT r4 #3: a meta-less index must FAIL LOUDLY, not fall back
+    to inferring list_shards from max(list_id)+1 (silently wrong on
+    sparse shards — recall collapses with no error). The ivf_write_meta
+    backfill tool, given the one unrecoverable parameter, restores the
+    index to exact-searchable."""
+    import shutil
+
+    path = str(tmp_path / "ivf_nometa")
+    ann.ivf_build_index(embs, path, n_centroids=8, list_shards=2, seed=42)
+    shutil.rmtree(f"{path}/meta")
+
+    pdf = embs.toPandas()
+    qdf = pdf.head(8)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    with pytest.raises(ValueError, match="no meta table"):
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+    with pytest.raises(ValueError, match="no meta table"):
+        ann.ivf_index_append(embs.limit(1), path)
+
+    got_meta = ann.ivf_write_meta(spark, path, list_shards=2)
+    assert got_meta["n_centroids"] == 8 and got_meta["list_shards"] == 2
+    got = (
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
+
+
+def test_ivf_combined_build_inplace_rerank(spark, embs, tmp_path):
+    """VERDICT r4 #6: ivf_build_index(pq=True) writes floats AND
+    residual PQ codes from ONE assignment pass under one meta — the
+    same path serves ivf_search (exact at nprobe=all), ivf_pq_search
+    (ADC), and in-place rerank (rerank_path == path), with zero
+    possibility of (list_id, id) drift between codes and floats."""
+    path = str(tmp_path / "ivf_combined")
+    # pin the residual encoding so the decode-side base term
+    # (q . c_list added back in ADC) is exercised; encoding='auto'
+    # picks raw on this weakly-clustered fixture (measured, see
+    # _train_pq_codebooks)
+    ann.ivf_build_index(
+        embs, path, n_centroids=8, list_shards=2, seed=42, pq=True, m=8,
+        pq_encoding="residual",
+    )
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    assert meta["has_full"] and meta["pq_encoding"] == "residual"
+    assert meta["m"] == 8
+
+    pdf = embs.toPandas()
+    qdf = pdf.head(12)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+
+    got = (
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"full qid={qid}"
+
+    rer = (
+        ann.ivf_pq_search(
+            spark, path, queries, 5, nprobe=8, q_id="qid",
+            rerank_path=path, rerank_factor=10,
+        )
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    for qid, grp in rer.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"rerank qid={qid}"
+
+    # the combined index also APPENDS both tables from one kernel
+    grow = str(tmp_path / "ivf_combined_grow")
+    half = len(pdf) // 2
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf.iloc[:half]), grow,
+        n_centroids=8, list_shards=2, seed=42, pq=True, m=8,
+    )
+    ann.ivf_index_append(spark.createDataFrame(pdf.iloc[half:]), grow)
+    n_codes = spark.read.parquet(f"{grow}/codes").count()
+    n_full = spark.read.parquet(f"{grow}/assigned").count()
+    assert n_codes == len(pdf) and n_full == len(pdf)
+    # factor covers the whole corpus: any deviation from the brute
+    # oracle would be (list_id, id) mis-addressing, not quantization
+    # (appended vectors quantize worse — codebooks trained pre-append)
+    rer2 = (
+        ann.ivf_pq_search(
+            spark, grow, queries, 5, nprobe=8, q_id="qid",
+            rerank_path=grow, rerank_factor=len(pdf) // 5 + 1,
+        )
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    for qid, grp in rer2.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"grown qid={qid}"
+
+
+def test_ivf_pq_rerank_param_drift_raises(spark, embs, tmp_path):
+    """VERDICT r4 #6 (drift case): a separately-built full-precision
+    rerank index whose build parameters differ maps (list_id, id)
+    differently — the search must RAISE, not silently join candidates
+    against the wrong partitions."""
+    pq = str(tmp_path / "pq_drift")
+    full = str(tmp_path / "full_drift")
+    ann.ivf_pq_build_index(embs, pq, n_centroids=8, list_shards=2, m=8, seed=42)
+    ann.ivf_build_index(embs, full, n_centroids=4, list_shards=2, seed=42)
+    queries = (
+        spark.createDataFrame(embs.toPandas().head(4))
+        .withColumnRenamed("vec_id", "qid")
+    )
+    with pytest.raises(ValueError, match="different"):
+        ann.ivf_pq_search(
+            spark, pq, queries, 5, nprobe=8, q_id="qid", rerank_path=full
+        )
+    # a PQ-only index cannot rerank in place either
+    with pytest.raises(ValueError, match="codes only"):
+        ann.ivf_pq_search(
+            spark, pq, queries, 5, nprobe=8, q_id="qid", rerank_path=pq
+        )
