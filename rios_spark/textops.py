@@ -180,11 +180,24 @@ def doc_fingerprints_winnow(
     LET-bound via the single-element-array idiom (a projection alias
     would be inlined into the window lambda by CollapseProject,
     re-evaluating the whole hash array per window — measured 48 s at
-    sf0.1 vs ~1 s bound), window minima via transform+array_min,
-    distinct inside the array, explode only the selected set. Emitting
-    VALUES (not positions) makes the output independent of which tied
-    position a window picks — set-identical to any winnowing
-    implementation. Docs shorter than w + k - 1 chars emit nothing."""
+    sf0.1 vs ~1 s bound), distinct inside the array, explode only the
+    selected set. Emitting VALUES (not positions) makes the output
+    independent of which tied position a window picks — set-identical
+    to any winnowing implementation. Docs shorter than w + k - 1
+    chars emit nothing.
+
+    Window minima use a SPARSE-TABLE doubling ladder instead of the
+    naive per-window array_min(slice(h, j, w)) (VERDICT r4 #5: the
+    naive form re-slices w elements per position — O(len*w) work and
+    allocation, the slowest oracle query at 2.69 s at sf0.1). Each
+    ladder level L_s[i] = min(h[i .. i+2^s-1]) is one zip_with of the
+    previous level with its 2^(s-1)-shifted self (least() ignores the
+    nulls zip_with pads the tail with), so level s is exact for every
+    i <= n - 2^s + 1 — precisely the positions the next level and the
+    final windows read. A w-window min is then one lookup (w a power
+    of two: the whole window array is just slice(L_log2w, 1, n-w+1))
+    or least() of two overlapping 2^s-windows (general w) — O(len *
+    log w) total, each level let-bound so it evaluates once per doc."""
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
     hashes = (
         f"transform(array({codes}), cs ->"
@@ -192,12 +205,29 @@ def doc_fingerprints_winnow(
         f"  i -> aggregate(slice(cs, i, {k}), cast(0 as bigint),"
         f"       (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})))[0]"
     )
-    winnowed = (
-        f"transform(array({hashes}), h ->"
-        f" array_distinct(transform("
-        f"  sequence(1, size(h) - {w - 1}),"
-        f"  j -> array_min(slice(h, j, {w})))))[0]"
-    )
+    s = max(0, w.bit_length() - 1)  # floor(log2 w)
+    ladder: list[tuple[str, str]] = []
+    prev = "h0"
+    for lev in range(1, s + 1):
+        d = 1 << (lev - 1)
+        zipped = (
+            f"zip_with({prev},"
+            f" slice({prev}, {d + 1}, greatest(size({prev}) - {d}, 0)),"
+            f" (x, y) -> least(x, y))"
+        )
+        ladder.append((f"transform(array({zipped}), h{lev} -> ", ")[0]"))
+        prev = f"h{lev}"
+    if w == (1 << s):
+        final = f"array_distinct(slice({prev}, 1, size(h0) - {w - 1}))"
+    else:
+        off = w - (1 << s)
+        final = (
+            f"array_distinct(transform(sequence(1, size(h0) - {w - 1}),"
+            f" j -> least(element_at({prev}, j), element_at({prev}, j + {off}))))"
+        )
+    for open_, close_ in reversed(ladder):
+        final = open_ + final + close_
+    winnowed = f"transform(array({hashes}), h0 -> {final})[0]"
     return (
         df.filter(F.length(text_col) >= k + w - 1)
         .select(id_col, F.expr(f"explode({winnowed})").alias("fp"))

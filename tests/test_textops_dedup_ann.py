@@ -741,3 +741,35 @@ def test_ivf_pq_rerank_param_drift_raises(spark, embs, tmp_path):
         ann.ivf_pq_search(
             spark, pq, queries, 5, nprobe=8, q_id="qid", rerank_path=pq
         )
+
+
+def test_doc_fingerprints_winnow_ladder_matches_bruteforce(spark):
+    """The sparse-table doubling ladder (r5: O(len log w) window min)
+    must select the EXACT same fingerprint set as the definitional
+    per-window min for every w — including non-powers-of-two, which
+    exercise the two-overlapping-windows least() branch."""
+    rng = np.random.default_rng(11)
+    alpha = np.array(list("abcdefg h"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": ["".join(rng.choice(alpha, int(rng.integers(30, 200)))) for _ in range(20)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    k = 8
+
+    def brute(text, w):
+        hs = []
+        for i in range(len(text) - k + 1):
+            h = 0
+            for ch in text[i : i + k]:
+                h = (h * textops.FP_BASE + ord(ch)) % textops.FP_MOD
+            hs.append(h)
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)} if len(hs) >= w else set()
+
+    for w in (1, 2, 5, 12, 16, 20, 31):
+        got = textops.doc_fingerprints_winnow(df, k=k, w=w).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+        for d, text in zip(pdf["doc_id"], pdf["text"]):
+            assert by_doc.get(d, set()) == brute(text, w), f"w={w} doc={d}"
