@@ -20,6 +20,7 @@ mirroring rios/riostests/testavgthreads.py).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -193,9 +194,21 @@ def _ngrams(toks: list, w: int):
 
 # --- simhash -----------------------------------------------------------------
 
+# tokenizer shared (by value) with the DuckDB simhash oracle: RE2's \s
+# is the ASCII class [\t\n\f\r ] only, while Python str.split() breaks
+# on UNICODE whitespace (NBSP, ideographic space, ...) — a document
+# containing U+00A0 would simhash differently in the two engines
+# (ADVICE r4). Both sides now split on the same ASCII class, so parity
+# holds on any corpus, not just ASCII-whitespace ones.
+_SIMHASH_WS = re.compile("[\t\n\f\r ]+")
+
+
 def simhash_col_udf():
     """64-bit simhash as an Arrow-batched UDF: per token, md5-derived
-    64-bit hash votes +1/-1 per bit; sign of the vote sum is the bit."""
+    64-bit hash votes +1/-1 per bit; sign of the vote sum is the bit.
+    Tokens are runs of non-whitespace under RE2's ASCII \\s class (see
+    _SIMHASH_WS) — identical to the O_SIMHASH_DOCS oracle's
+    string_split_regex(text, '\\s+')."""
 
     @F.pandas_udf(T.LongType())
     def simhash(text: pd.Series) -> pd.Series:
@@ -203,7 +216,9 @@ def simhash_col_udf():
         # (documents share most vocabulary), then accumulate ±1 bit
         # votes with matrix sums — identical output to the naive
         # per-token loop, ~vocabulary/occurrences times fewer md5 calls
-        token_lists = [(t or "").split() for t in text]
+        token_lists = [
+            [tok for tok in _SIMHASH_WS.split(t or "") if tok] for t in text
+        ]
         vocab: dict[str, int] = {}
         for toks in token_lists:
             for tok in toks:

@@ -1038,15 +1038,19 @@ def q_embedding_topk(spark, sf_dir):
     (still exact) above it — no full-table driver collect at any data
     size (r2 VERDICT #3)."""
     embs = _t(spark, sf_dir, "embeddings")
+    # one named bound feeds BOTH the filter and the fan-out hint — a
+    # drifting pair (ADVICE r4) would silently cap the kernel at one
+    # partition if the filter ever admitted more rows than the hint
+    n_q = 20
     queries = (
-        embs.filter(F.col("vec_id") < 20)
+        embs.filter(F.col("vec_id") < n_q)
         .select(F.col("vec_id").alias("qid"), "embedding")
     )
     from rios_spark import ann
 
-    # q_rows_hint: the filter bounds the query side at 20 rows — the
+    # q_rows_hint: the filter bounds the query side at n_q rows — the
     # kernel fan-out sizes itself instead of paying a 32-way shuffle
-    out = ann.cosine_topk(queries, embs, 5, q_id="qid", q_rows_hint=20)
+    out = ann.cosine_topk(queries, embs, 5, q_id="qid", q_rows_hint=n_q)
     return out.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 

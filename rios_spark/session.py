@@ -96,11 +96,23 @@ def track_caches(spark: SparkSession, key: str, frames: list) -> None:
     if reg is None:
         reg = {}
         setattr(spark, _CACHE_REGISTRY_ATTR, reg)
-    new_hashes = {h for h in (_semantic_hash(df) for df in frames) if h is not None}
+    # live hashes span EVERY registry key, not just this one: Spark's
+    # CacheManager keys entries by canonicalized plan, so a plan-
+    # identical frame registered under ANOTHER operator key (or still
+    # backing its live lazy result) shares the cache entry this key's
+    # old generation would evict (ADVICE r4) — releasing it would
+    # silently reintroduce the measured 1.9 s -> 4.3 s recompute.
+    live = {h for h in (_semantic_hash(df) for df in frames) if h is not None}
+    for other_key, other_frames in reg.items():
+        if other_key == key:
+            continue
+        live.update(
+            h for h in (_semantic_hash(df) for df in other_frames) if h is not None
+        )
     for df in reg.get(key, ()):
         h = _semantic_hash(df)
-        if h is not None and h in new_hashes:
-            continue  # same plan = same cache entry the new call uses
+        if h is not None and h in live:
+            continue  # same plan = same cache entry something live uses
         try:
             df.unpersist(blocking=False)
         except Exception:

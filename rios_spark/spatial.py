@@ -796,20 +796,33 @@ def knn_tiled(
     # candidate join producing it): the completeness check below and the
     # final output would otherwise EACH re-execute the join+window
     # (actions do not share shuffle stages across jobs)
-    ranked = _rank_and_prove(
-        cand, part_cols, k, res, ring, q_lat, q_lon, quantize=quantize
-    ).persist()
-    # every persisted intermediate is registered so the NEXT knn_tiled
-    # call (or an explicit session.release_caches) frees this one's
-    # executor cache — a long-lived session no longer accumulates
-    # control frames until eviction pressure (ADVICE r3)
-    cached: list[DataFrame] = [ranked]
+    # every persisted intermediate is registered with the session cache
+    # registry THE MOMENT it is persisted (ADVICE r4: registration only
+    # on the return paths left frames persisted-but-untracked if an
+    # action raised mid-operator — unfreeable even by release_caches).
+    # Re-registering the growing list is idempotent for this call's own
+    # frames (same plan hash -> kept) and releases the PREVIOUS call's
+    # generation on the first registration (ADVICE r3).
+    from rios_spark.session import track_caches
+
+    cached: list[DataFrame] = []
+
+    def _track(df: DataFrame) -> DataFrame:
+        cached.append(df)
+        track_caches(queries.sparkSession, "knn_tiled", cached)
+        return df
+
+    ranked = _track(
+        _rank_and_prove(
+            cand, part_cols, k, res, ring, q_lat, q_lon, quantize=quantize
+        ).persist()
+    )
     outs = [ranked.filter(F.col("__proved")).select(*out_cols)]
     # per-query escalation plan: an unproven query with >= k candidates
     # KNOWS its k-th distance, hence exactly how wide a ring certifies
     # it; queries with < k candidates seen have no bound and go straight
     # to the residual scan
-    bad_keys = (
+    bad_keys = _track(
         ranked.filter(~F.col("__proved"))
         .groupBy(*part_cols)
         .agg(
@@ -819,13 +832,9 @@ def knn_tiled(
         )
         .persist()
     )
-    cached.append(bad_keys)
 
     def _finish(df: DataFrame) -> DataFrame:
-        from rios_spark.session import track_caches
-
-        track_caches(queries.sparkSession, "knn_tiled", cached)
-        return df
+        return df  # all persisted frames already tracked via _track
 
     n = 1 << res
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
@@ -907,13 +916,14 @@ def knn_tiled(
             F.explode(kring_cells_var_col(F.col("cell"), res, F.col("__radius"))),
         )
         cand_r = probe.join(d_plain, "__probe", "left").drop("__probe")
-        ranked_r = _rank_and_prove(
-            cand_r, part_cols, k, res, F.col("__radius"), q_lat, q_lon,
-            quantize=quantize,
-        ).persist()
-        cached.append(ranked_r)
+        ranked_r = _track(
+            _rank_and_prove(
+                cand_r, part_cols, k, res, F.col("__radius"), q_lat, q_lon,
+                quantize=quantize,
+            ).persist()
+        )
         outs.append(ranked_r.filter(F.col("__proved")).select(*out_cols))
-        bad_keys = (
+        bad_keys = _track(
             ranked_r.filter(~F.col("__proved"))
             .groupBy(*part_cols)
             .agg(
@@ -923,7 +933,6 @@ def knn_tiled(
             )
             .persist()
         )
-        cached.append(bad_keys)
         n_bad, n_esc = _residue_stats(bad_keys)
         if counters is not None:
             counters[f"unproven_escalation_{i}"] = n_bad

@@ -238,8 +238,19 @@ def stream_sessionize(
         # conversion, and clamp to watermark+1 so a late event's
         # already-passed deadline schedules for the next trigger
         # instead of raising (see docstring)
+        # explicit DST policies: the localize default is ambiguous=
+        # 'raise'/nonexistent='raise', so for any DST session zone an
+        # event in the fall-back hour (ambiguous) or spring-forward gap
+        # (nonexistent) would raise inside the state function and kill
+        # the whole query — the same crash class the watermark clamp
+        # exists to prevent (ADVICE r4). ambiguous=True picks the DST
+        # (first) occurrence, shift_forward lands gap times on the
+        # first valid instant; either way the deadline is within an
+        # hour of the wall time and the clamp keeps it legal.
         last_ms = int(
-            _pd.Timestamp(last).tz_localize(session_tz).timestamp() * 1000
+            _pd.Timestamp(last)
+            .tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+            .timestamp() * 1000
         )
         state.setTimeoutTimestamp(
             max(state.getCurrentWatermarkMs() + 1, last_ms + gap_s * 1000)

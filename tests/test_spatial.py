@@ -595,3 +595,66 @@ def test_knn_tiled_antimeridian_exact(spark):
             zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
         ):
             assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_track_caches_preserves_cross_key_shared_plan(spark):
+    """ADVICE r4: Spark's CacheManager keys cache entries by
+    canonicalized PLAN, so a plan-identical frame registered under a
+    DIFFERENT operator key shares the entry. Rolling one key's
+    generation must not evict an entry another key's live frame still
+    backs — only plans no longer referenced anywhere in the registry
+    may be released."""
+    from rios_spark.session import release_caches, track_caches
+
+    df_a = spark.range(100).selectExpr("id", "id * 2 AS v").persist()
+    df_a.count()
+    track_caches(spark, "op_a", [df_a])
+    # same canonical plan, registered under a second key
+    df_b = spark.range(100).selectExpr("id", "id * 2 AS v").persist()
+    df_b.count()
+    track_caches(spark, "op_b", [df_b])
+    assert df_b.storageLevel.useMemory
+
+    # roll op_a to a NEW plan: the old op_a frame's plan is still live
+    # under op_b and must survive the rollover
+    df_a2 = spark.range(50).selectExpr("id", "id * 3 AS v").persist()
+    df_a2.count()
+    track_caches(spark, "op_a", [df_a2])
+    assert df_b.storageLevel.useMemory, "shared-plan cache evicted by other key"
+
+    # once op_b also rolls to a new plan, the shared plan has no live
+    # holder left and IS released
+    df_b2 = spark.range(60).selectExpr("id", "id * 5 AS v").persist()
+    df_b2.count()
+    track_caches(spark, "op_b", [df_b2])
+    assert not df_b.storageLevel.useMemory
+    release_caches(spark)
+    assert not df_a2.storageLevel.useMemory and not df_b2.storageLevel.useMemory
+
+
+def test_knn_tiled_registers_caches_incrementally(spark):
+    """ADVICE r4: knn_tiled's persisted control frames enter the
+    session cache registry AS they are persisted, so an exception
+    between a persist and the return cannot strand unfreeable executor
+    cache. After a normal call every registered frame is persisted and
+    release_caches frees them all."""
+    from rios_spark import session as rs_session
+    from rios_spark.session import release_caches
+
+    rng = np.random.default_rng(7)
+    res = 4
+    qpdf = pd.DataFrame(
+        {"qid": range(40), "lat": rng.uniform(-60, 60, 40), "lon": rng.uniform(-170, 170, 40)}
+    )
+    dpdf = pd.DataFrame(
+        {"id": range(200), "lat": rng.uniform(-60, 60, 200), "lon": rng.uniform(-170, 170, 200)}
+    )
+    q = spark.createDataFrame(qpdf).withColumn("cell", cell_col("lat", "lon", res))
+    d = spark.createDataFrame(dpdf).withColumn("cell", cell_col("lat", "lon", res))
+    spatial.knn_tiled(q, d, 3, res, d_id="id", q_id="qid").count()
+    reg = getattr(spark, rs_session._CACHE_REGISTRY_ATTR, {})
+    frames = reg.get("knn_tiled", [])
+    assert len(frames) >= 2
+    assert all(f.storageLevel.useMemory for f in frames)
+    release_caches(spark, "knn_tiled")
+    assert all(not f.storageLevel.useMemory for f in frames)

@@ -773,3 +773,35 @@ def test_doc_fingerprints_winnow_ladder_matches_bruteforce(spark):
         by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
         for d, text in zip(pdf["doc_id"], pdf["text"]):
             assert by_doc.get(d, set()) == brute(text, w), f"w={w} doc={d}"
+
+
+def test_simhash_unicode_whitespace_parity(spark):
+    """ADVICE r4: the simhash UDF used Python str.split() (UNICODE
+    whitespace) while the DuckDB oracle splits on RE2's ASCII \\s —
+    a document containing U+00A0/U+3000 diverged between engines. Both
+    now tokenize on the same ASCII class, so parity holds on any
+    corpus, verified here on NBSP/ideographic-space/vertical-tab docs."""
+    from rios_spark.queries import O_SIMHASH_DOCS
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "plain ascii words only",
+                "nbsp inside and again tail",
+                "ideographic\u3000space mixed\u2009normal gap",
+                "vertical\x0btab and\x0cformfeed mix",
+            ],
+        }
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", dedup.simhash_col_udf()("text").alias("simhash"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(O_SIMHASH_DOCS).df().sort_values("doc_id").reset_index(drop=True)
+    assert (got["simhash"].to_numpy() == want["simhash"].to_numpy()).all()
