@@ -1181,21 +1181,10 @@ def q_sessionize_events(spark, sf_dir):
     the previous event exceeds 30 minutes — lag + a cumulative sum of
     session-start flags in ONE window partitioning (one shuffle), then
     per-session aggregates."""
+    from rios_spark.temporal import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(new_sess).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("long"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-    )
+    return sessionize(ev, gap_s=1800, tiebreak="event_id")
 
 
 O_SESSIONIZE_EVENTS = """

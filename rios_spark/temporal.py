@@ -82,3 +82,36 @@ def asof_join(
             F.col("__r.__rts").alias(f"{ts}{suffix}"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization, batch form: per user, a new session
+    starts when the gap from the previous event exceeds ``gap_s``
+    seconds — lag + a cumulative sum of session-start flags in ONE
+    window partitioning (one shuffle), then per-session aggregates.
+    Output: (user, session_id, n_events, session_start, session_end).
+
+    This is the batch counterpart of streaming.stream_sessionize: for
+    any event set whose lateness stays within the stream's watermark,
+    the CLOSED sessions the stream emits are exactly this function's
+    non-final sessions (pinned three-way against the DuckDB oracle in
+    tests/test_plans_sources_streaming.py)."""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sess = df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

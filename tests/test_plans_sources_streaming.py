@@ -572,3 +572,122 @@ def test_stream_pair_join_matches_batch(spark, tmp_path):
     assert len(got) == len(g), "stream emitted a duplicate pair"
     assert g == w
     assert len(w) > 20  # the fixture actually produces matches
+
+
+def test_stream_batch_oracle_threeway_sessionize(spark, tmp_path):
+    """VERDICT r4 #4: the RIOS answer-invariance-under-concurrency
+    contract (testavgthreads.py:67-97) lifted to streaming as a
+    THREE-WAY equivalence on one fixture: the CLOSED sessions the
+    stream emits == the batch operator's (temporal.sessionize)
+    non-final sessions == the DuckDB oracle's non-final sessions, and
+    batch == oracle exactly on EVERY session. The fixture includes a
+    late event 5 h behind the watermark whose unclamped deadline would
+    crash the query (the clamp case) — all three engines must still
+    agree on the session it interrupts."""
+    import time
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from rios_spark.queries import O_SESSIONIZE_EVENTS
+    from rios_spark.streaming import stream_sessionize
+    from rios_spark.temporal import sessionize
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + pd.Timedelta(minutes=int(rng.integers(0, 20)))
+        for _ in range(30):
+            t = t + pd.Timedelta(seconds=int(rng.choice([60, 400, 2000, 5000])))
+            rows.append((user, t, eid))
+            eid += 1
+    # watermark head: one far-future event so the late event below is
+    # genuinely sub-watermark when it arrives
+    rows.append((99, base + pd.Timedelta(hours=30), eid)); eid += 1
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    late = pd.DataFrame(
+        {"user_id": [0], "ts": [base + pd.Timedelta(hours=20)], "event_id": [eid]}
+    )
+    late["ts"] = late["ts"].astype("datetime64[us]")
+
+    src = tmp_path / "threeway_src"
+    src.mkdir()
+    ev.sort_values("ts").to_parquet(src / "f1.parquet")
+    time.sleep(0.2)
+    late.to_parquet(src / "f2.parquet")  # 10 h behind the +26 h watermark
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_sessionize(stream, gap_s=1800, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("threeway_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    all_ev = pd.concat([ev, late], ignore_index=True)
+    batch = (
+        sessionize(spark.createDataFrame(all_ev), gap_s=1800, tiebreak="event_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("events", all_ev)
+    oracle = con.execute(O_SESSIONIZE_EVENTS).df()
+
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    def norm(df):
+        out = df[key].copy()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        for c in ("session_start", "session_end"):
+            out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
+        return set(map(tuple, out.itertuples(index=False)))
+
+    # batch == oracle on every session (incl. finals)
+    assert norm(batch) == norm(oracle)
+
+    # stream: every non-final (interrupted) session must be emitted
+    finals = batch.loc[
+        batch.groupby("user_id")["session_id"].transform("max") == batch["session_id"]
+    ]
+    non_final = batch.drop(finals.index)
+    deadline = time.time() + 120
+    crashed = None
+    while time.time() < deadline:
+        if not q.isActive:
+            crashed = q.exception()
+            break
+        if spark.sql("select * from threeway_test").count() >= len(non_final):
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert crashed is None, f"streaming query crashed: {crashed}"
+    got = spark.sql("select * from threeway_test").toPandas()
+    got_set = norm(got)
+    assert len(got_set) == len(got), "a session was emitted twice"
+    assert norm(non_final) <= got_set, "an interrupted session was never emitted"
+    # nothing the batch/oracle pair doesn't produce (finals may close
+    # via timeout, which is legitimate)
+    assert got_set <= norm(batch)
+    # the late event's interruption specifically: user 0's last pre-late
+    # session must be closed identically by all three engines
+    u0 = batch[(batch["user_id"] == 0)].sort_values("session_id")
+    pre_late = u0.iloc[-2]  # the session the +20 h event interrupts
+    assert tuple(
+        pd.Series(
+            {
+                "user_id": pre_late["user_id"],
+                "session_start": pre_late["session_start"],
+                "session_end": pre_late["session_end"],
+                "n_events": np.int64(pre_late["n_events"]),
+            }
+        )[key]
+    ) in got_set
