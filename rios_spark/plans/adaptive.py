@@ -26,45 +26,16 @@ then runs on the balanced key, which is the whole point.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from rios_spark.grid import RES_MUL, Y_MUL, cell_col, np_parent
+from rios_spark.grid import cell_col, parent_col
 
 
 def cell_load(df: DataFrame, cell: str = "cell") -> DataFrame:
     """(cell, n_rows) — the load profile used for split decisions."""
     return df.groupBy(cell).count()
-
-
-def _decide_final_cells(
-    fine_counts: pd.DataFrame, base_res: int, finest_res: int, max_rows: int
-) -> pd.DataFrame:
-    """Driver-side quadtree recursion. Input: (fc, count) at finest_res
-    for hot subtrees. Output: (fc, final_cell) — each finest cell mapped
-    to the shallowest ancestor whose subtree count <= max_rows (or to
-    itself at finest_res if none)."""
-    fc = fine_counts["fc"].to_numpy(np.int64)
-    cnt = fine_counts["count"].to_numpy(np.int64)
-    final = np.full(len(fc), -1, np.int64)
-    # subtree sums per level, finest -> base
-    level_cells = {finest_res: fc}
-    level_sums = {finest_res: cnt}
-    for r in range(finest_res - 1, base_res - 1, -1):
-        parents = np_parent(level_cells[r + 1], r)
-        s = pd.Series(level_sums[r + 1]).groupby(parents).sum()
-        level_cells[r] = s.index.to_numpy(np.int64)
-        level_sums[r] = s.to_numpy(np.int64)
-    # assign shallowest fitting ancestor (top-down)
-    for r in range(base_res, finest_res + 1):
-        anc = np_parent(fc, r) if r < finest_res else fc
-        fits = pd.Series(level_sums[r], index=level_cells[r])
-        ok = fits.reindex(anc).to_numpy() <= max_rows
-        take = (final == -1) & (ok | (r == finest_res))
-        final[take] = anc[take]
-    return pd.DataFrame({"fc": fc, "final_cell": final})
 
 
 def adaptive_split(
@@ -81,44 +52,55 @@ def adaptive_split(
     decision is a pure function of the per-cell counts, so the same
     data yields the same final cells under any partitioning.
 
-    Driver-memory bound (documented per r2 VERDICT #7): the two
-    toPandas() collects below hold per-CELL counts, never rows —
-    bounded by 4^res base cells for the first and by
-    |hot cells| * 4^max_levels (<= 256x the hot count at the default
-    +4 levels) for the second. At the engine's working resolutions
-    (res <= 8 -> <= 65k base cells) both are a few MB. If base
-    resolutions ever grow past ~10, move the quadtree decision into a
-    distributed agg over (parent, level) keys instead."""
-    spark = df.sparkSession
+    FULLY DISTRIBUTED decision (VERDICT r4 #7 — the per-cell-count
+    toPandas() collects were the last driver-side decision in a query
+    path): the quadtree rule 'shallowest ancestor whose subtree count
+    <= max_rows, else finest' is evaluated as window sums over the
+    finest-resolution count frame — one partial+final count, then for
+    each of the max_levels+1 candidate resolutions a sum(n) OVER
+    (PARTITION BY ancestor_r) on that tiny frame (cells nest, so a
+    subtree count IS the per-ancestor window sum), and a CASE picks
+    the shallowest level that fits. The same unrolled-CASE shape as
+    the DuckDB oracle for q_adaptive_split_docs — engine and oracle
+    now share the decision structure, not just the answer.
+
+    The hot-cell restriction is a broadcast semi-join on the aggregated
+    count frame, NOT isin([...]): thousands of hot cells compile into
+    one giant OR that falls off HotSpot's huge-method JIT cliff
+    (measured 100x in pip_join), and a literal list grows the
+    driver-serialized plan unboundedly. The data is never shuffled by
+    this operator — both aggregates are map-side partial + tiny final,
+    window sums run on the cell-count frame (|hot finest cells| rows),
+    and the final re-key is a broadcast hash join. The caller's
+    groupBy/write on `cell` then shuffles on the balanced key, which
+    is the whole point."""
     finest = res + max_levels
 
-    base_counts = df.groupBy(F.col(cell).alias("c")).count().toPandas()
-    hot = base_counts.loc[base_counts["count"] > max_rows, "c"].astype(np.int64)
-    if hot.empty:
-        return df
-
-    # Broadcast semi-join on the hot-cell set, NOT isin([...]): thousands
-    # of hot cells compile into one giant OR that falls off HotSpot's
-    # huge-method JIT cliff (measured 100x in pip_join) — and a literal
-    # list in the plan grows the driver-serialized plan unboundedly.
-    hot_df = F.broadcast(
-        spark.createDataFrame([(int(c),) for c in hot], f"{cell} long")
-    )
-    fine_counts = (
-        df.join(hot_df, cell, "left_semi")
-        .groupBy(cell_col(lat, lon, finest).alias("fc"))
+    hot = (
+        df.groupBy(F.col(cell).alias(cell))
         .count()
-        .toPandas()
+        .filter(F.col("count") > max_rows)
+        .select(cell)
     )
-    mapping = _decide_final_cells(fine_counts, res, finest, max_rows)
-    map_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(a), int(b)) for a, b in zip(mapping["fc"], mapping["final_cell"])],
-            "fc long, final_cell long",
-        )
+    fine = (
+        df.join(F.broadcast(hot), cell, "left_semi")
+        .groupBy(cell_col(lat, lon, finest).alias("fc"))
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
+    # subtree sum at each candidate resolution = window sum keyed by the
+    # closed-form ancestor; shallowest fitting ancestor wins. Each
+    # window is a shuffle of the COUNT frame only (bounded by
+    # |hot cells| * 4^max_levels rows), never of the data.
+    anc = {
+        r: parent_col(F.col("fc"), finest, r) for r in range(res, finest)
+    }
+    fitted = F.col("fc")  # fallback: stay at finest, fit or not
+    for r in range(finest - 1, res - 1, -1):
+        sum_r = F.sum("__n").over(Window.partitionBy(anc[r]))
+        fitted = F.when(sum_r <= max_rows, anc[r]).otherwise(fitted)
+    mapping = fine.select(F.col("fc"), fitted.alias("final_cell"))
     out = df.withColumn("__fc", cell_col(lat, lon, finest))
-    out = out.join(map_df, out["__fc"] == map_df["fc"], "left")
+    out = out.join(F.broadcast(mapping), out["__fc"] == mapping["fc"], "left")
     return (
         out.withColumn(cell, F.coalesce(F.col("final_cell"), F.col(cell)))
         .drop("__fc", "fc", "final_cell")
