@@ -691,3 +691,31 @@ def test_stream_batch_oracle_threeway_sessionize(spark, tmp_path):
             }
         )[key]
     ) in got_set
+
+
+def test_resume_job_example_schedules_only_pending(tmp_path):
+    """VERDICT r4 #8: the manifest's kill/resume contract has an
+    executable surface — examples/resume_job.py writes a prefix of the
+    cells, 'dies', restarts with the full input, and must prove the
+    second run scheduled EXACTLY the pending cell set (verified
+    cell-by-cell inside the example) with the final output holding
+    every cell exactly once."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable, "examples/resume_job.py",
+            "--out", str(tmp_path / "resume_out"),
+            "--n-pages", "20000", "--res", "4", "--kill-frac", "0.4",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["resume_exact"] is True
+    assert got["cells_phase1"] + got["cells_resumed"] == got["cells_total"]
+    assert got["output_cells"] == got["cells_total"]
+    assert got["output_rows"] == 20000
