@@ -521,6 +521,11 @@ thousands of executors.
 
 Total: {result['value']:.3f} s
 
+Single-run times on this oversubscribed host drift up to ~35% between
+rounds from host windows alone: BENCH/AB_DRIFT_r5.md records an
+interleaved HEAD-vs-r3 A/B with an ALU control settling the r4 drift
+question (no code regressions; two queries measurably faster).
+
 ## Secondary queries (every remaining registered query) at sf{result['sf']} on local[{CPUS}]
 
 | query | wall (s) |

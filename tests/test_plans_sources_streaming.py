@@ -719,3 +719,51 @@ def test_resume_job_example_schedules_only_pending(tmp_path):
     assert got["cells_phase1"] + got["cells_resumed"] == got["cells_total"]
     assert got["output_cells"] == got["cells_total"]
     assert got["output_rows"] == 20000
+
+
+def test_stream_doc_fingerprints_matches_batch(spark, tmp_path):
+    """Fingerprinting on a LIVE stream: doc_fingerprints (and the
+    winnowing variant) are pure stateless projections — zero-shuffle
+    higher-order expressions — so the same operator body runs on a
+    readStream unchanged, and the stream output equals the batch
+    output row-for-row. This is the streaming face of the
+    copy-detection pipeline: fingerprints extracted at ingest time,
+    joined against the corpus index downstream."""
+    import pandas as pd
+
+    from rios_spark import textops
+
+    rng = __import__("numpy").random.default_rng(31)
+    alpha = list("abcdef gh")
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "text": [
+                "".join(rng.choice(alpha, int(rng.integers(30, 300))))
+                for _ in range(60)
+            ],
+        }
+    )
+    src = str(tmp_path / "fp_stream_src")
+    spark.createDataFrame(docs).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    for op, qname in (
+        (textops.doc_fingerprints, "fp_stream_test"),
+        (textops.doc_fingerprints_winnow, "fpw_stream_test"),
+    ):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(f"select * from {qname}").toPandas()
+        want = op(spark.read.parquet(src)).toPandas()
+        key = ["doc_id", "fp"]
+        gs = sorted(map(tuple, got[key].itertuples(index=False)))
+        ws = sorted(map(tuple, want[key].itertuples(index=False)))
+        assert gs == ws, f"{qname}: stream/batch fingerprint mismatch"
