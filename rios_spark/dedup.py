@@ -294,33 +294,44 @@ def fingerprint_near_dup_pairs(
     any offset, complementary to minhash (whole-doc similarity) and
     simhash (bit-vote distance).
 
-    Scale shape: candidates come from a fingerprint EQUI-join — never
-    all-pairs. A fingerprint shared by f docs emits f^2 pairs, so
-    non-discriminative fingerprints (boilerplate shingles appearing in
-    > max_df docs) are dropped first: the same stop-shingle guard every
-    production copy-detector applies, and the hot-bucket bound that
-    keeps the join linear-ish at corpus scale.
+    Scale shape: candidates come from grouping on the fingerprint —
+    never all-pairs over documents. A fingerprint shared by f docs
+    emits f^2 pairs, so non-discriminative fingerprints (boilerplate
+    shingles appearing in > max_df docs) are dropped first: the same
+    stop-shingle guard every production copy-detector applies, and the
+    hot-bucket bound that keeps the pair generation linear-ish at
+    corpus scale.
+
+    ONE scan of the fingerprint set (r5): the previous self-join
+    recomputed the whole O(len log k) fingerprint expression for BOTH
+    join branches (Spark does not share common subplans across a
+    self-join) plus a window pass for the df guard — measured ~2x the
+    necessary work at sf0.1. Now a single groupBy collects each
+    fingerprint's sorted doc list, the df guard is a size() filter on
+    that list (no window), and the id1 < id2 pairs are generated
+    INSIDE the array with an indexed transform before exploding.
+    Shuffles: one on fp + one on (id1, id2) — the minimum.
 
     Output: (id1, id2, n_shared), id1 < id2."""
-    from pyspark.sql.window import Window
-
     from rios_spark.textops import doc_fingerprints
 
     fps = doc_fingerprints(df, text_col, id_col, k, sample_mod)
-    # document-frequency guard as a window over the SAME fp
-    # partitioning the self-join needs — one computation of the
-    # fingerprint set, no second aggregate+semi-join pass over it
-    kept = (
-        fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    a = kept.select(F.col(id_col).alias("id1"), "fp")
-    b = kept.select(F.col(id_col).alias("id2"), "fp")
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                "           y -> named_struct('id1', x, 'id2', y))))"
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2")
     return (
-        a.join(b, "fp")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
+        pairs.groupBy("id1", "id2")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

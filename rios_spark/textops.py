@@ -122,6 +122,53 @@ def kgram_hash_sql(text_expr: str, pos_expr: str, k: int = FP_K) -> str:
     return h
 
 
+def _kgram_hash_ladder(text_col: str, k: int) -> tuple[list[tuple[str, str]], str]:
+    """Build the per-position k-gram Horner hash array as a DOUBLING
+    ladder of zip_with levels instead of an aggregate over a slice per
+    position. h_1(i) = code_i mod M; h_2s(i) = (h_s(i) * (B^s mod M) +
+    h_s(i+s)) mod M — algebraically the positional Horner value, so the
+    DuckDB oracle (kgram_hash_sql, plain Horner) is value-identical.
+    O(len log k) with no per-position slice allocation vs O(len*k)
+    (measured: the slice+aggregate form dominated doc_fingerprints at
+    sf0.1). Overflow-safe in int64 for any power-of-two k: both factors
+    stay < M < 2^31 so the product is < 2^62. Non-power-of-two k falls
+    back to the aggregate form.
+
+    Returns (ladder, final_var): `ladder` is the ordered list of
+    (open, close) let-binding fragments expecting a bound char-code
+    array named g0; final_var names the hash array the innermost body
+    should reference. Entry i of the final array is the hash of the
+    k-gram at 1-based position i (length len - k + 1 entries are
+    valid; the tail is null-padded partials the caller must slice off)."""
+    s_levels = k.bit_length() - 1
+    if k != (1 << s_levels):
+        agg = (
+            f"transform(sequence(1, size(g0) - {k - 1}),"
+            f" i -> aggregate(slice(g0, i, {k}), cast(0 as bigint),"
+            f"      (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}))"
+        )
+        return [(f"transform(array({agg}), g1 -> ", ")[0]")], "g1"
+    ladder: list[tuple[str, str]] = []
+    prev, mult = "g0", FP_BASE
+    for lev in range(1, s_levels + 1):
+        d = 1 << (lev - 1)
+        m_s = pow(FP_BASE, d, FP_MOD)
+        zipped = (
+            f"zip_with({prev},"
+            f" slice({prev}, {d + 1}, greatest(size({prev}) - {d}, 0)),"
+            f" (x, y) -> (x * {m_s} + coalesce(y, cast(0 as bigint))) % {FP_MOD})"
+        )
+        ladder.append((f"transform(array({zipped}), g{lev} -> ", ")[0]"))
+        prev = f"g{lev}"
+    return ladder, prev
+
+
+def _nest(ladder: list[tuple[str, str]], body: str) -> str:
+    for open_, close_ in reversed(ladder):
+        body = open_ + body + close_
+    return body
+
+
 def doc_fingerprints(
     df,
     text_col: str = "text",
@@ -142,20 +189,20 @@ def doc_fingerprints(
     inlined by CollapseProject into the position lambda, re-evaluating
     split+transform per position, O(len^2); a first cut with
     substr(text, i, 1) per character had the same quadratic shape and
-    measured 9.5 s at sf0.1), every k-gram hash comes from
-    transform+slice over the bound array (O(len*k)), sampling and
-    per-doc dedup happen INSIDE the array (filter + array_distinct),
-    and only the ~len/p surviving fingerprints are exploded. Docs
-    shorter than k emit nothing."""
+    measured 9.5 s at sf0.1), every k-gram hash comes from the
+    O(len log k) doubling ladder (_kgram_hash_ladder — r5: the
+    per-position aggregate-over-slice form it replaces was O(len*k)
+    and allocated a k-array per position), sampling and per-doc dedup
+    happen INSIDE the array (filter + array_distinct), and only the
+    ~len/p surviving fingerprints are exploded. Docs shorter than k
+    emit nothing."""
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
-    fps_arr = (
-        f"transform(array({codes}), cs ->"
-        f" array_distinct(filter("
-        f"  transform(sequence(1, length({text_col}) - {k - 1}),"
-        f"    i -> aggregate(slice(cs, i, {k}), cast(0 as bigint),"
-        f"         (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})),"
-        f"  h -> h % {sample_mod} = 0)))[0]"
+    ladder, hvar = _kgram_hash_ladder(text_col, k)
+    body = (
+        f"array_distinct(filter(slice({hvar}, 1, size(g0) - {k - 1}),"
+        f" h -> h % {sample_mod} = 0))"
     )
+    fps_arr = f"transform(array({codes}), g0 -> {_nest(ladder, body)})[0]"
     return (
         df.filter(F.length(text_col) >= k)
         .select(id_col, F.expr(f"explode({fps_arr})").alias("fp"))
@@ -199,12 +246,7 @@ def doc_fingerprints_winnow(
     or least() of two overlapping 2^s-windows (general w) — O(len *
     log w) total, each level let-bound so it evaluates once per doc."""
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
-    hashes = (
-        f"transform(array({codes}), cs ->"
-        f" transform(sequence(1, length({text_col}) - {k - 1}),"
-        f"  i -> aggregate(slice(cs, i, {k}), cast(0 as bigint),"
-        f"       (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})))[0]"
-    )
+    hladder, hvar = _kgram_hash_ladder(text_col, k)
     s = max(0, w.bit_length() - 1)  # floor(log2 w)
     ladder: list[tuple[str, str]] = []
     prev = "h0"
@@ -225,9 +267,13 @@ def doc_fingerprints_winnow(
             f"array_distinct(transform(sequence(1, size(h0) - {w - 1}),"
             f" j -> least(element_at({prev}, j), element_at({prev}, j + {off}))))"
         )
-    for open_, close_ in reversed(ladder):
-        final = open_ + final + close_
-    winnowed = f"transform(array({hashes}), h0 -> {final})[0]"
+    min_body = _nest(ladder, final)
+    # h0 = the VALID k-gram hash slice (the hash ladder null-pads its
+    # tail with partial values that must not enter the window minima)
+    hashes_body = _nest(
+        hladder, f"transform(array(slice({hvar}, 1, size(g0) - {k - 1})), h0 -> {min_body})[0]"
+    )
+    winnowed = f"transform(array({codes}), g0 -> {hashes_body})[0]"
     return (
         df.filter(F.length(text_col) >= k + w - 1)
         .select(id_col, F.expr(f"explode({winnowed})").alias("fp"))

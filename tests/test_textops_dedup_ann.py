@@ -805,3 +805,32 @@ def test_simhash_unicode_whitespace_parity(spark):
     con.register("documents", pdf)
     want = con.execute(O_SIMHASH_DOCS).df().sort_values("doc_id").reset_index(drop=True)
     assert (got["simhash"].to_numpy() == want["simhash"].to_numpy()).all()
+
+
+def test_kgram_hash_ladder_non_power_of_two_k(spark):
+    """The hash doubling ladder only applies at power-of-two k; other k
+    fall back to the aggregate form — both must equal the positional
+    Horner reference."""
+    rng = np.random.default_rng(13)
+    alpha = np.array(list("abc def"))
+    pdf = pd.DataFrame(
+        {"doc_id": range(8),
+         "text": ["".join(rng.choice(alpha, int(rng.integers(20, 80)))) for _ in range(8)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    def ref(text, k):
+        out = set()
+        for i in range(len(text) - k + 1):
+            h = 0
+            for ch in text[i : i + k]:
+                h = (h * textops.FP_BASE + ord(ch)) % textops.FP_MOD
+            if h % 4 == 0:
+                out.add(h)
+        return out
+
+    for k in (5, 8, 16):
+        got = textops.doc_fingerprints(df, k=k, sample_mod=4).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
+        for d, text in zip(pdf["doc_id"], pdf["text"]):
+            assert by_doc.get(d, set()) == ref(text, k), f"k={k} doc={d}"
