@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--n-queries", type=int, default=200)
     ap.add_argument("--skip-build", action="store_true", help="reuse an existing index")
+    ap.add_argument(
+        "--pq", action="store_true",
+        help="combined build: residual/raw-auto PQ codes beside the floats "
+        "(one assignment pass, one meta); search then also runs the ADC + "
+        "in-place exact-rerank path",
+    )
+    ap.add_argument("--pq-m", type=int, default=16)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -55,6 +62,7 @@ def main() -> None:
         ann.ivf_build_index(
             vecs, args.index,
             n_centroids=args.n_centroids, list_shards=args.list_shards,
+            pq=args.pq, m=args.pq_m,
         )
         print(json.dumps({"built_sec": round(time.monotonic() - t0, 2)}))
 
@@ -71,6 +79,19 @@ def main() -> None:
         "search_sec": round(wall, 2),
         "qps": round(args.n_queries / wall, 1),
     }))
+    if args.pq:
+        t0 = time.monotonic()
+        pq_out = ann.ivf_pq_search(
+            spark, args.index, queries, args.k, nprobe=args.nprobe,
+            rerank_path=args.index, rerank_factor=8,
+        )
+        n_pq = pq_out.count()
+        wall = time.monotonic() - t0
+        print(json.dumps({
+            "pq_rerank_rows": n_pq,
+            "pq_rerank_sec": round(wall, 2),
+            "pq_rerank_qps": round(args.n_queries / wall, 1),
+        }))
     spark.stop()
 
 

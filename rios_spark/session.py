@@ -75,10 +75,47 @@ _CACHE_REGISTRY_ATTR = "_rios_spark_cache_registry"
 
 
 def _semantic_hash(df) -> int | None:
+    """Canonicalized-plan hash, MEMOIZED on the DataFrame object: the
+    py4j analyzed()+semanticHash() round-trip costs tens of ms on a
+    deep plan, and the r5 incremental registration calls track_caches
+    several times per operator over growing frame lists — recomputing
+    every hash every call measured as a ~25% knn_tiled regression
+    (caught by the r4 A/B). A DataFrame's analyzed plan is immutable,
+    so one computation per object is exact."""
+    cached = getattr(df, "_rios_sem_hash", False)
+    if cached is not False:
+        return cached
     try:
-        return int(df._jdf.queryExecution().analyzed().semanticHash())
+        h = int(df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:
-        return None
+        h = None
+    try:
+        df._rios_sem_hash = h
+    except Exception:
+        pass
+    return h
+
+
+def register_caches(spark: SparkSession, key: str, frames: list) -> None:
+    """Add `frames` to `key`'s registered set WITHOUT releasing
+    anything — the exception-safe incremental half of the lifecycle
+    (ADVICE r4): an operator registers each frame the moment it is
+    persisted, so a raise mid-operator leaves nothing unfreeable, and
+    calls track_caches with the COMPLETE generation at the end to
+    release superseded plans. Releasing eagerly per-registration was
+    measured as a ~25% knn_tiled regression: the first registration of
+    a new invocation dropped the previous generation's later frames
+    and evicted cache entries the new invocation's identical plans
+    were about to reuse (the same blind-unpersist trap the
+    plan-identity check exists to prevent, one level up)."""
+    reg = getattr(spark, _CACHE_REGISTRY_ATTR, None)
+    if reg is None:
+        reg = {}
+        setattr(spark, _CACHE_REGISTRY_ATTR, reg)
+    cur = reg.setdefault(key, [])
+    for df in frames:
+        if not any(df is f for f in cur):  # DataFrame __eq__ builds a Column
+            cur.append(df)
 
 
 def track_caches(spark: SparkSession, key: str, frames: list) -> None:

@@ -800,16 +800,18 @@ def knn_tiled(
     # registry THE MOMENT it is persisted (ADVICE r4: registration only
     # on the return paths left frames persisted-but-untracked if an
     # action raised mid-operator — unfreeable even by release_caches).
-    # Re-registering the growing list is idempotent for this call's own
-    # frames (same plan hash -> kept) and releases the PREVIOUS call's
-    # generation on the first registration (ADVICE r3).
-    from rios_spark.session import track_caches
+    # Registration never releases; _finish hands the COMPLETE new
+    # generation to track_caches, which releases only the previous
+    # generation's plan-distinct frames (ADVICE r3 — and releasing
+    # per-registration instead was itself a measured ~25% regression,
+    # see session.register_caches).
+    from rios_spark.session import register_caches, track_caches
 
     cached: list[DataFrame] = []
 
     def _track(df: DataFrame) -> DataFrame:
         cached.append(df)
-        track_caches(queries.sparkSession, "knn_tiled", cached)
+        register_caches(queries.sparkSession, "knn_tiled", [df])
         return df
 
     ranked = _track(
@@ -834,7 +836,10 @@ def knn_tiled(
     )
 
     def _finish(df: DataFrame) -> DataFrame:
-        return df  # all persisted frames already tracked via _track
+        # the generation is complete: release everything registered
+        # under this key that the new generation's plans don't share
+        track_caches(queries.sparkSession, "knn_tiled", cached)
+        return df
 
     n = 1 << res
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
