@@ -435,10 +435,12 @@ def ivf_build_index(
     assigned table back off disk costs more than assigning the corpus
     in memory (200k/64-dim: ~240 ad-hoc vs ~140 indexed qps). The
     persisted index wins once the per-call O(N) assignment dominates
-    the partition-pruned read (~nprobe/n_lists of the corpus): measured
-    crossover ≈ 1M vectors at 64 dims (147 vs 147 qps — a dead heat),
-    with the ad-hoc cost growing linearly in N beyond it. For any
-    repeatedly-queried serving corpus, build."""
+    the partition-pruned read (~nprobe/n_lists of the corpus): at 64
+    dims the two paths tie at ≈ 1M vectors (147 vs 147 qps r4; 143 vs
+    149 r5) and the index wins decisively at 2M (63/38 ad-hoc vs 89/64
+    indexed qps across two interleaved reps, r5), with the ad-hoc cost
+    growing linearly in N beyond it. For any repeatedly-queried
+    serving corpus, build."""
     if not pq and not store_full:
         raise ValueError("store_full=False requires pq=True — nothing to write")
     spark = data.sparkSession
