@@ -864,6 +864,31 @@ def q_fingerprint_near_dup_docs(spark, sf_dir):
 O_FINGERPRINT_NEAR_DUP_DOCS = fingerprint_near_dup_sql(sample_mod=16, min_shared=2)
 
 
+# per-language sampling quotas for the curation query: downsample the
+# dominant language hard, keep most of the low-resource ones — the
+# standard rebalancing shape; one shared constant feeds query AND oracle
+SAMPLE_FRACTIONS = {"en": 0.3, "zh": 0.9, "de": 0.7}
+SAMPLE_DEFAULT = 0.5
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-language quota sampling (training-data
+    curation): keep doc iff md5(doc_id) mod 1e6 < its language's
+    threshold — reproducible across runs/partitionings/engines, and
+    monotone in the fraction (a larger quota yields a superset). One
+    codegen'd filter, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.stratified_sample(
+        docs, "lang", SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+O_STRATIFIED_SAMPLE_DOCS = textops.stratified_sample_sql(
+    "documents", "lang", SAMPLE_FRACTIONS,
+    default_fraction=SAMPLE_DEFAULT, select="doc_id, lang, source",
+)
+
+
 def q_doc_text_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -1520,6 +1545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints_winnow": q_doc_fingerprints_winnow,
     "fingerprint_near_dup_docs": q_fingerprint_near_dup_docs,
     "doc_text_metrics": q_doc_text_metrics,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "doc_lang_scores": q_doc_lang_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_w1_docs": q_minhash_w1_docs,
@@ -1567,6 +1593,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprints_winnow": O_DOC_FINGERPRINTS_WINNOW,
     "fingerprint_near_dup_docs": O_FINGERPRINT_NEAR_DUP_DOCS,
     "doc_text_metrics": O_DOC_TEXT_METRICS,
+    "stratified_sample_docs": O_STRATIFIED_SAMPLE_DOCS,
     "doc_lang_scores": O_DOC_LANG_SCORES,
     "exact_dedup_docs": O_EXACT_DEDUP_DOCS,
     "minhash_w1_docs": O_MINHASH_W1_DOCS,

@@ -341,3 +341,45 @@ def stream_dedup_exact(
             timeoutConf=timeout,
         )
     )
+
+
+def stream_fingerprint_matches(
+    doc_stream: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_id_col: str = "doc_id",
+    k: int | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Ingest-time provenance/copy detection: fingerprint each arriving
+    document (textops.doc_fingerprints — a pure stateless projection,
+    so it runs on the stream unchanged) and equi-join against a STATIC
+    corpus fingerprint table (fp, corpus_id) — a stream-static inner
+    join Spark executes with NO streaming state at all, so the output
+    is append-mode and the operator scales like a batch join. Emits one
+    row per shared fingerprint: (stream_id, corpus_id, fp).
+
+    This is the streaming face of dedup.fingerprint_near_dup_pairs:
+    the corpus side is fingerprinted ONCE (a parquet/Iceberg table the
+    batch job maintains; partition it by a prefix of fp at scale so
+    the stream-side join prunes), and each incoming crawl batch pays
+    only its own fingerprinting plus a join against that index — never
+    re-reading the corpus text. Deliberately NOT aggregated here: a
+    streaming groupBy keyed by (stream doc, corpus doc) would hold
+    state for every pair ever seen. Each arriving doc lives in exactly
+    one micro-batch, so a min-shared threshold is a per-batch
+    aggregation — apply it downstream in foreachBatch (as the parity
+    test does) or over the sink table."""
+    from rios_spark.textops import FP_K, FP_SAMPLE_MOD, doc_fingerprints
+
+    fps = doc_fingerprints(
+        doc_stream, text_col, id_col,
+        k=k or FP_K, sample_mod=sample_mod or FP_SAMPLE_MOD,
+    ).withColumnRenamed(id_col, "stream_id")
+    corpus = corpus_fps.select(
+        F.col("fp"), F.col(corpus_id_col).alias("corpus_id")
+    )
+    return fps.join(corpus, "fp").filter(
+        F.col("stream_id") != F.col("corpus_id")
+    ).select("stream_id", "corpus_id", "fp")

@@ -386,3 +386,60 @@ def make_lang_id_udf():
         return pd.Series(out)
 
     return lang_id
+
+
+# --- deterministic stratified sampling (training-data curation) --------------
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def stratified_sample(
+    df,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+):
+    """Per-stratum quota sampling, the curation op every training-data
+    pipeline runs (e.g. downsample English, keep all low-resource
+    languages). DETERMINISTIC-BY-ID, not Bernoulli: a row is kept iff
+    md5(id) mod 1e6 falls under its stratum's threshold, so the sample
+    is reproducible across runs/partitionings/engines (the RIOS
+    answer-invariance contract applied to sampling), re-running with a
+    LARGER fraction yields a superset (monotone thresholds — stable
+    train/holdout growth), and the DuckDB oracle reproduces it exactly
+    via the same md5 arithmetic (fingerprint_col's proven cross-engine
+    hash). One codegen'd filter; no shuffle, no RNG state."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(SAMPLE_BUCKETS)
+    )
+    thr = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
+    for key, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == key, F.lit(int(round(frac * SAMPLE_BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    select: str = "*",
+) -> str:
+    """DuckDB oracle for stratified_sample — same md5 bucket, same
+    CASE thresholds."""
+    cases = " ".join(
+        f"WHEN '{key}' THEN {int(round(frac * SAMPLE_BUCKETS))}"
+        for key, frac in sorted(fractions.items())
+    )
+    return f"""
+SELECT {select} FROM {table}
+WHERE (('0x' || substr(md5(cast({id_col} AS VARCHAR)), 1, 15))::BIGINT
+       % {SAMPLE_BUCKETS})
+      < CASE {strata_col} {cases}
+        ELSE {int(round(default_fraction * SAMPLE_BUCKETS))} END
+"""

@@ -767,3 +767,77 @@ def test_stream_doc_fingerprints_matches_batch(spark, tmp_path):
         gs = sorted(map(tuple, got[key].itertuples(index=False)))
         ws = sorted(map(tuple, want[key].itertuples(index=False)))
         assert gs == ws, f"{qname}: stream/batch fingerprint mismatch"
+
+
+def test_stream_fingerprint_matches_corpus_copies(spark, tmp_path):
+    """Stream-static copy detection: a static corpus fingerprint index
+    + a stream of new documents, some containing passages copied from
+    corpus docs at different offsets. The stream must flag exactly the
+    planted (new doc, corpus doc) pairs once aggregated per batch, and
+    the whole match set must equal the same join run in batch."""
+    import numpy as np
+    import pandas as pd
+
+    from rios_spark import textops
+    from rios_spark.streaming import stream_fingerprint_matches
+
+    rng = np.random.default_rng(41)
+    alpha = np.array(list("abcdefghij klmno"))
+
+    def rand_s(n):
+        return "".join(rng.choice(alpha, n))
+
+    corpus = pd.DataFrame(
+        {"doc_id": range(20), "text": [rand_s(400) for _ in range(20)]}
+    )
+    # new docs 100..104 copy a 360-char passage from corpus docs 3, 7,
+    # 11 (long enough that the 1/64 sampling yields >= 2 shared
+    # fingerprints with margin); 103/104 are clean
+    new_rows = []
+    for i, src_doc in enumerate([3, 7, 11]):
+        passage = corpus["text"][src_doc][20:380]
+        new_rows.append((100 + i, rand_s(80) + passage + rand_s(60)))
+    new_rows += [(103, rand_s(300)), (104, rand_s(250))]
+    new = pd.DataFrame(new_rows, columns=["doc_id", "text"])
+
+    corpus_df = spark.createDataFrame(corpus)
+    corpus_fps = textops.doc_fingerprints(corpus_df).cache()
+    src = str(tmp_path / "fpmatch_src")
+    spark.createDataFrame(new).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream_fingerprint_matches(stream, corpus_fps)
+        .writeStream.format("memory")
+        .queryName("fpmatch_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from fpmatch_test").toPandas()
+
+    # per-pair aggregation (each doc arrives once, so this equals the
+    # per-batch min_shared threshold)
+    agg = (
+        got.groupby(["stream_id", "corpus_id"]).size().reset_index(name="n")
+    )
+    flagged = set(
+        map(tuple, agg.loc[agg["n"] >= 2, ["stream_id", "corpus_id"]].itertuples(index=False))
+    )
+    assert flagged == {(100, 3), (101, 7), (102, 11)}
+
+    # stream match set == the identical stream-static join run in batch
+    batch = (
+        textops.doc_fingerprints(spark.createDataFrame(new))
+        .withColumnRenamed("doc_id", "stream_id")
+        .join(corpus_fps.withColumnRenamed("doc_id", "corpus_id"), "fp")
+        .filter("stream_id != corpus_id")
+        .select("stream_id", "corpus_id", "fp")
+        .toPandas()
+    )
+    key = ["stream_id", "corpus_id", "fp"]
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == sorted(
+        map(tuple, batch[key].itertuples(index=False))
+    )
+    corpus_fps.unpersist()

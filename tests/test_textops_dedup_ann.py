@@ -834,3 +834,46 @@ def test_kgram_hash_ladder_non_power_of_two_k(spark):
         by_doc = {d: set(g["fp"]) for d, g in got.groupby("doc_id")}
         for d, text in zip(pdf["doc_id"], pdf["text"]):
             assert by_doc.get(d, set()) == ref(text, k), f"k={k} doc={d}"
+
+
+def test_stratified_sample_deterministic_monotone(spark, docs):
+    """Deterministic quota sampling invariants: (1) reruns are
+    identical (no RNG state); (2) a larger fraction yields a SUPERSET
+    (monotone thresholds — stable train/holdout growth); (3) realized
+    per-stratum rates track the quotas; (4) DuckDB reproduces the
+    sample exactly (shared md5 arithmetic)."""
+    fr_small = {"en": 0.2, "de": 0.5}
+    fr_big = {"en": 0.6, "de": 0.9}
+    s1 = textops.stratified_sample(docs, "lang", fr_small, default_fraction=0.3)
+    s2 = textops.stratified_sample(docs, "lang", fr_small, default_fraction=0.3)
+    a = set(r["doc_id"] for r in s1.select("doc_id").collect())
+    assert a == set(r["doc_id"] for r in s2.select("doc_id").collect())
+    big = set(
+        r["doc_id"]
+        for r in textops.stratified_sample(
+            docs, "lang", fr_big, default_fraction=0.8
+        ).select("doc_id").collect()
+    )
+    assert a <= big
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in textops.stratified_sample(docs, "lang", fr_big, default_fraction=0.8)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n_total in totals.items():
+        frac = fr_big.get(lang, 0.8)
+        rate = got.get(lang, 0) / n_total
+        assert abs(rate - frac) < 0.35, f"{lang}: rate {rate} vs quota {frac}"
+    # oracle parity on this fixture
+    con = duckdb.connect()
+    pdf = docs.select("doc_id", "lang").toPandas()
+    con.register("documents", pdf)
+    want = set(
+        con.execute(
+            textops.stratified_sample_sql(
+                "documents", "lang", fr_small, default_fraction=0.3, select="doc_id"
+            )
+        ).df()["doc_id"]
+    )
+    assert a == want
