@@ -316,6 +316,14 @@ def fingerprint_near_dup_pairs(
     from rios_spark.textops import doc_fingerprints
 
     fps = doc_fingerprints(df, text_col, id_col, k, sample_mod)
+    return _pairs_from_fps(fps, id_col, min_shared, max_df)
+
+
+def _pairs_from_fps(
+    fps: DataFrame, id_col: str, min_shared: int, max_df: int
+) -> DataFrame:
+    """Shared pair generation over any (id, fp) fingerprint frame —
+    see fingerprint_near_dup_pairs for the plan-shape rationale."""
     grouped = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -337,6 +345,31 @@ def fingerprint_near_dup_pairs(
     )
 
 
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs from WINNOWED fingerprints — the guaranteed-
+    detection variant of fingerprint_near_dup_pairs: 0-mod-p sampling
+    can miss a shared passage by sampling luck, but winnowing selects
+    at least one fingerprint from EVERY w-window, so any shared
+    substring of >= w + k - 1 chars is guaranteed to produce a shared
+    fingerprint (min_shared=1 preserves that guarantee end-to-end;
+    min_shared=2 trades it for precision). Density ~2/(w+1) of
+    positions vs 1/p — more candidate volume for the same corpus, the
+    price of the guarantee. Same one-scan group-and-pair plan; the
+    stop-shingle max_df guard applies identically."""
+    from rios_spark.textops import doc_fingerprints_winnow
+
+    fps = doc_fingerprints_winnow(df, text_col, id_col, k=k, w=w)
+    return _pairs_from_fps(fps, id_col, min_shared, max_df)
+
+
 def fingerprint_near_dup_sql(
     table: str = "documents",
     text_col: str = "text",
@@ -350,6 +383,32 @@ def fingerprint_near_dup_sql(
     from rios_spark.textops import doc_fingerprints_sql
 
     fp_sql = doc_fingerprints_sql(table, text_col, id_col, k, sample_mod)
+    return f"""
+WITH fps AS ({fp_sql}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}),
+kept AS (SELECT f.* FROM fps f JOIN rare USING (fp))
+SELECT a.{id_col} AS id1, b.{id_col} AS id2, count(*) AS n_shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
+def winnow_near_dup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> str:
+    """DuckDB oracle for winnow_near_dup_pairs — the winnowed
+    fingerprint CTE feeding the identical pair SQL."""
+    from rios_spark.textops import doc_fingerprints_winnow_sql
+
+    fp_sql = doc_fingerprints_winnow_sql(table, text_col, id_col, k, w)
     return f"""
 WITH fps AS ({fp_sql}),
 rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}),

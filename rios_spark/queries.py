@@ -864,6 +864,28 @@ def q_fingerprint_near_dup_docs(spark, sf_dir):
 O_FINGERPRINT_NEAR_DUP_DOCS = fingerprint_near_dup_sql(sample_mod=16, min_shared=2)
 
 
+def q_winnow_near_dup_docs(spark, sf_dir):
+    """Near-dup pairs from WINNOWED fingerprints — the guaranteed-
+    detection variant (any shared >= w+k-1-char substring shares a
+    fingerprint, no sampling luck); min_shared=3 trims the denser
+    winnow candidate volume (~2/(w+1) of positions vs 1/64 sampled).
+    Candidate-generator semantics on the shared-vocab synthetic corpus,
+    like fingerprint_near_dup_docs."""
+    from rios_spark import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_near_dup_pairs(docs, min_shared=3)
+
+
+def _o_winnow_near_dup():
+    from rios_spark.dedup import winnow_near_dup_sql
+
+    return winnow_near_dup_sql(min_shared=3)
+
+
+O_WINNOW_NEAR_DUP_DOCS = _o_winnow_near_dup()
+
+
 # per-language sampling quotas for the curation query: downsample the
 # dominant language hard, keep most of the low-resource ones — the
 # standard rebalancing shape; one shared constant feeds query AND oracle
@@ -1546,6 +1568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_near_dup_docs": q_fingerprint_near_dup_docs,
     "doc_text_metrics": q_doc_text_metrics,
     "stratified_sample_docs": q_stratified_sample_docs,
+    "winnow_near_dup_docs": q_winnow_near_dup_docs,
     "doc_lang_scores": q_doc_lang_scores,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_w1_docs": q_minhash_w1_docs,
@@ -1594,6 +1617,7 @@ ORACLES: dict[str, str] = {
     "fingerprint_near_dup_docs": O_FINGERPRINT_NEAR_DUP_DOCS,
     "doc_text_metrics": O_DOC_TEXT_METRICS,
     "stratified_sample_docs": O_STRATIFIED_SAMPLE_DOCS,
+    "winnow_near_dup_docs": O_WINNOW_NEAR_DUP_DOCS,
     "doc_lang_scores": O_DOC_LANG_SCORES,
     "exact_dedup_docs": O_EXACT_DEDUP_DOCS,
     "minhash_w1_docs": O_MINHASH_W1_DOCS,

@@ -877,3 +877,25 @@ def test_stratified_sample_deterministic_monotone(spark, docs):
         ).df()["doc_id"]
     )
     assert a == want
+
+
+def test_winnow_near_dup_guaranteed_detection(spark):
+    """End-to-end guarantee: with min_shared=1, ANY pair sharing a
+    substring of >= w + k - 1 chars MUST be paired (winnowing selects
+    at least one fingerprint per w-window — no sampling luck, unlike
+    the 0-mod-p variant), and docs with no shared k-gram never pair."""
+    rng = np.random.default_rng(29)
+    lower = np.array(list("abcdefghijklmnop qrs"))
+    upper = np.array(list("ABCDEFGHIJKLMNOP"))
+    k, w = 8, 16
+    rows = []
+    for i in range(30):
+        shared = "".join(rng.choice(lower, int(rng.integers(w + k - 1, 2 * (w + k)))))
+        pad = lambda n: "".join(rng.choice(upper, n))
+        rows.append((2 * i, pad(int(rng.integers(0, 50))) + shared + pad(int(rng.integers(0, 50)))))
+        rows.append((2 * i + 1, pad(int(rng.integers(0, 50))) + shared + pad(int(rng.integers(0, 50)))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dedup.winnow_near_dup_pairs(df, k=k, w=w, min_shared=1, max_df=1000).toPandas()
+    pairs = set(map(tuple, got[["id1", "id2"]].itertuples(index=False)))
+    for i in range(30):
+        assert (2 * i, 2 * i + 1) in pairs, f"planted pair {i} missed"
