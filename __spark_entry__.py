@@ -1,11 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 The engine lives in rios_spark/ (see SURVEY.md §2 for the operator
-inventory these queries cover). EVERY queries() entry has a matching
-oracle_sql() DuckDB statement computing the same result with identical
-arithmetic — as of r4 including simhash_docs (md5-bit voting expressed
-in SQL) and media_image_features (the deterministic fixture re-derived
-driver-side as a constant table). Self-check:
+inventory these queries cover). EVERY queries() entry (48 as of r5)
+has a matching oracle_sql() DuckDB statement computing the same result
+with identical arithmetic — including simhash_docs (md5-bit voting in
+SQL), media_image_features (deterministic fixture re-derived as a
+constant table), stratified_sample_docs (shared md5-bucket quota
+thresholds) and winnow_near_dup_docs (winnowed-fingerprint pair
+generation). Self-check:
 python tools/check_oracles.py
 """
 
