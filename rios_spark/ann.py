@@ -306,12 +306,17 @@ def ivf_write_meta(
     and m/ksub from the codebooks table when present. A backfilled PQ
     index is marked pq_encoding='raw' (the pre-r5 encoding); r5+ builds
     write residual codes and their own meta."""
-    cen = spark.read.parquet(f"{path}/centroids")
+    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
+    cen_mat = np.stack(
+        cen_pdf["vec"].iloc[order].map(np.asarray).to_list()
+    ).astype(np.float64)
     meta = {
-        "n_centroids": int(cen.count()),
+        "n_centroids": int(len(cen_pdf)),
         "list_shards": int(list_shards),
         "d_id": d_id,
         "d_emb": d_emb,
+        "centroid_sig": _centroid_sig(cen_mat),
     }
     try:
         cb = spark.read.parquet(f"{path}/codebooks")
@@ -381,17 +386,100 @@ def _train_pq_codebooks(
             )
         return err / x.size
 
-    resid = smat - coarse[np.argmax(smat @ coarse.T, axis=1)]
+    _check_pq_encoding(encoding)
     if encoding == "raw":
         return "raw", train(smat)
+    resid = smat - coarse[np.argmax(smat @ coarse.T, axis=1)]
     if encoding == "residual":
         return "residual", train(resid)
-    if encoding != "auto":
-        raise ValueError(f"pq_encoding must be raw|residual|auto, got {encoding!r}")
     cb_raw, cb_res = train(smat), train(resid)
     if recon_mse(resid, cb_res) < recon_mse(smat, cb_raw):
         return "residual", cb_res
     return "raw", cb_raw
+
+
+def _check_pq_encoding(encoding: str) -> None:
+    if encoding not in ("raw", "residual", "auto"):
+        raise ValueError(f"pq_encoding must be raw|residual|auto, got {encoding!r}")
+
+
+def _centroid_sig(centroids: np.ndarray) -> str:
+    """Content signature of the trained centroids, stored in the index
+    meta. Two indexes built with IDENTICAL parameters over DIFFERENT
+    corpus snapshots train different centroids and hence different
+    list mappings — a parameter-only drift check passes while
+    (list_id, id) silently mis-addresses (code-review r5); the
+    signature catches what the parameters cannot."""
+    import hashlib
+
+    return hashlib.md5(
+        np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
+    ).hexdigest()[:16]
+
+
+def _encode_and_write(
+    data: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray | None,
+    shards: int,
+    d_id: str,
+    d_emb: str,
+    residual: bool,
+    store_full: bool,
+    mode: str,
+) -> None:
+    """ONE assignment/encode kernel feeding the assigned and/or codes
+    writes — shared by build (mode='overwrite') and append
+    (mode='append') so the two paths can never drift in how they
+    assign lists or encode codes (the drift class VERDICT r4 #6 is
+    about, which duplicated kernels would quietly reintroduce)."""
+    spark = data.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, codebooks))
+
+    out_fields = ["list_id int", f"{d_id} long"]
+    if store_full:
+        out_fields.append(f"{d_emb} array<float>")
+    if codebooks is not None:
+        out_fields.append("code binary")
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen, cbs = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
+            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
+            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
+            cols = {"list_id": lists * shards + shard, d_id: pdf[d_id]}
+            if store_full:
+                cols[d_emb] = pdf[d_emb]
+            if cbs is not None:
+                enc_in = mat - cen[lists] if residual else mat
+                cols["code"] = [c.tobytes() for c in _pq_encode(enc_in, cbs)]
+            yield pd.DataFrame(cols)
+
+    frame = data.select(d_id, d_emb).mapInPandas(assign, ", ".join(out_fields))
+    # cluster by list BEFORE the partitioned write: without this every
+    # (input task x list) pair emits its own tiny file — up to
+    # tasks*lists files whose open/footer overhead dominates search
+    # scans. One shuffle buys one file per list dir per write.
+    frame = frame.repartition("list_id")
+    dual = store_full and codebooks is not None
+    if dual:
+        # one kernel pass feeding both writes: the shuffled frame is
+        # persisted so the codes write replays cached partitions
+        frame = frame.persist()
+    if store_full:
+        frame.select("list_id", d_id, d_emb).write.mode(mode).partitionBy(
+            "list_id"
+        ).parquet(f"{path}/assigned")
+    if codebooks is not None:
+        frame.select("list_id", d_id, "code").write.mode(mode).partitionBy(
+            "list_id"
+        ).parquet(f"{path}/codes")
+    if dual:
+        frame.unpersist(blocking=False)
 
 
 def ivf_build_index(
@@ -443,6 +531,8 @@ def ivf_build_index(
     serving corpus, build."""
     if not pq and not store_full:
         raise ValueError("store_full=False requires pq=True — nothing to write")
+    if pq:
+        _check_pq_encoding(pq_encoding)
     spark = data.sparkSession
     n_total = data.count()
     frac = min(1.0, sample_rows / max(n_total, 1))
@@ -450,7 +540,20 @@ def ivf_build_index(
     if len(sample) == 0:
         sample = data.select(d_emb).limit(sample_rows).toPandas()
     smat = _normalize(np.stack(sample[d_emb].map(np.asarray).to_list()).astype(np.float64))
+    # validate EVERYTHING cheap before the first write: a rebuild over
+    # an existing index that raises after overwriting centroids/ (but
+    # before assigned/meta) leaves the OLD lists readable against NEW
+    # centroids under a still-valid meta — a silent recall collapse
+    # with no error, the exact failure mode _require_index_meta exists
+    # to kill (code-review r5)
+    if pq and smat.shape[1] % m != 0:
+        raise ValueError(f"dim {smat.shape[1]} not divisible by m={m}")
     centroids = _kmeans(smat, n_centroids, seed=seed)
+    codebooks, enc = None, None
+    if pq:
+        enc, codebooks = _train_pq_codebooks(
+            smat, centroids, m, ksub, seed, encoding=pq_encoding
+        )
     cen_pdf = pd.DataFrame(
         {
             "centroid_id": np.arange(len(centroids), dtype=np.int32),
@@ -460,11 +563,7 @@ def ivf_build_index(
     spark.createDataFrame(cen_pdf).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
-    codebooks, enc = None, None
     if pq:
-        enc, codebooks = _train_pq_codebooks(
-            smat, centroids, m, ksub, seed, encoding=pq_encoding
-        )
         cb_rows = [
             (int(j), int(e), codebooks[j, e].astype(float).tolist())
             for j in range(codebooks.shape[0])
@@ -473,57 +572,17 @@ def ivf_build_index(
         spark.createDataFrame(
             cb_rows, "m_idx int, entry int, vec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    bc = spark.sparkContext.broadcast((centroids, codebooks))
     shards = max(1, int(list_shards))
-
-    out_fields = ["list_id int", f"{d_id} long"]
-    if store_full:
-        out_fields.append(f"{d_emb} array<float>")
-    if pq:
-        out_fields.append("code binary")
-
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cen, cbs = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
-            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
-            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
-            cols = {"list_id": lists * shards + shard, d_id: pdf[d_id]}
-            if store_full:
-                cols[d_emb] = pdf[d_emb]
-            if cbs is not None:
-                enc_in = mat - cen[lists] if enc == "residual" else mat
-                cols["code"] = [c.tobytes() for c in _pq_encode(enc_in, cbs)]
-            yield pd.DataFrame(cols)
-
-    assigned = data.select(d_id, d_emb).mapInPandas(assign, ", ".join(out_fields))
-    # cluster by list BEFORE the partitioned write: without this every
-    # (input task x list) pair emits its own tiny file — up to
-    # tasks*lists files whose open/footer overhead dominates search
-    # scans. One shuffle at build time buys one file per list dir.
-    assigned = assigned.repartition("list_id")
-    if store_full and pq:
-        # one assignment pass feeding both writes: the shuffled frame is
-        # persisted so the codes write replays the cached partitions, not
-        # the whole encode kernel
-        assigned = assigned.persist()
-    if store_full:
-        assigned.select("list_id", d_id, d_emb).write.mode("overwrite").partitionBy(
-            "list_id"
-        ).parquet(f"{path}/assigned")
-    if pq:
-        assigned.select("list_id", d_id, "code").write.mode("overwrite").partitionBy(
-            "list_id"
-        ).parquet(f"{path}/codes")
-    if store_full and pq:
-        assigned.unpersist(blocking=False)
+    _encode_and_write(
+        data, path, centroids, codebooks, shards, d_id, d_emb,
+        residual=(enc == "residual"), store_full=store_full, mode="overwrite",
+    )
     meta = dict(
         n_centroids=int(len(centroids)), list_shards=int(shards),
         d_id=d_id, d_emb=d_emb,
         sample_rows=int(sample_rows), seed=int(seed),
         has_full=bool(store_full),
+        centroid_sig=_centroid_sig(centroids),
     )
     if pq:
         meta.update(
@@ -561,44 +620,10 @@ def ivf_index_append(
     has_full = bool(meta.get("has_full", not has_pq))
     residual = str(meta.get("pq_encoding", "raw")) == "residual"
     codebooks = _read_codebooks(spark, path) if has_pq else None
-    bc = spark.sparkContext.broadcast((centroids, codebooks))
-
-    out_fields = ["list_id int", f"{d_id} long"]
-    if has_full:
-        out_fields.append(f"{d_emb} array<float>")
-    if has_pq:
-        out_fields.append("code binary")
-
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cen, cbs = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            mat = _normalize(np.stack(pdf[d_emb].map(np.asarray).to_list()).astype(np.float64))
-            lists = np.argmax(mat @ cen.T, axis=1).astype(np.int32)
-            shard = (pdf[d_id].to_numpy(np.int64) % shards).astype(np.int32)
-            cols = {"list_id": lists * shards + shard, d_id: pdf[d_id]}
-            if has_full:
-                cols[d_emb] = pdf[d_emb]
-            if cbs is not None:
-                enc_in = mat - cen[lists] if residual else mat
-                cols["code"] = [c.tobytes() for c in _pq_encode(enc_in, cbs)]
-            yield pd.DataFrame(cols)
-
-    new = data.select(d_id, d_emb).mapInPandas(assign, ", ".join(out_fields))
-    new = new.repartition("list_id")
-    if has_full and has_pq:
-        new = new.persist()
-    if has_full:
-        new.select("list_id", d_id, d_emb).write.mode("append").partitionBy(
-            "list_id"
-        ).parquet(f"{path}/assigned")
-    if has_pq:
-        new.select("list_id", d_id, "code").write.mode("append").partitionBy(
-            "list_id"
-        ).parquet(f"{path}/codes")
-    if has_full and has_pq:
-        new.unpersist(blocking=False)
+    _encode_and_write(
+        data, path, centroids, codebooks, shards, d_id, d_emb,
+        residual=residual, store_full=has_full, mode="append",
+    )
 
 
 def _read_codebooks(spark, path: str) -> np.ndarray:
@@ -633,8 +658,15 @@ def ivf_search(
     cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
     order = np.argsort(cen_pdf["centroid_id"].to_numpy())
     centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
+    meta = _require_index_meta(spark, path)
+    if meta.get("has_full") is False:
+        raise ValueError(
+            f"index at {path!r} stores PQ codes only (no assigned/ float "
+            "table, has_full=false in meta): use ivf_pq_search, or rebuild "
+            "with ivf_build_index(pq=True) for both tables"
+        )
     assigned = spark.read.parquet(f"{path}/assigned")
-    shards = int(_require_index_meta(spark, path)["list_shards"])
+    shards = int(meta["list_shards"])
     bc = spark.sparkContext.broadcast(centroids)
     np_eff = min(nprobe, len(centroids))
 
@@ -1051,9 +1083,15 @@ def ivf_pq_search(
             )
     else:
         rmeta = _require_index_meta(spark, rerank_path)
+        # centroid_sig catches what the parameters cannot: identical
+        # params over DIFFERENT corpus snapshots train different
+        # centroids, hence different list mappings (code-review r5)
         drift = {
             f: (meta.get(f), rmeta.get(f))
-            for f in ("n_centroids", "list_shards", "sample_rows", "seed")
+            for f in (
+                "n_centroids", "list_shards", "sample_rows", "seed",
+                "centroid_sig",
+            )
             if f in meta and f in rmeta
             and meta[f] is not None and rmeta[f] is not None
             and meta[f] != rmeta[f]

@@ -147,6 +147,13 @@ def track_caches(spark: SparkSession, key: str, frames: list) -> None:
             h for h in (_semantic_hash(df) for df in other_frames) if h is not None
         )
     for df in reg.get(key, ()):
+        # identity check FIRST: register_caches may already have put
+        # the new generation's frames into reg[key], and when
+        # _semantic_hash returns None (e.g. no JVM plan access) the
+        # hash guard alone would unpersist the very frames being
+        # registered (code-review r5)
+        if any(df is f for f in frames):
+            continue
         h = _semantic_hash(df)
         if h is not None and h in live:
             continue  # same plan = same cache entry something live uses

@@ -410,10 +410,10 @@ def stratified_sample(
     train/holdout growth), and the DuckDB oracle reproduces it exactly
     via the same md5 arithmetic (fingerprint_col's proven cross-engine
     hash). One codegen'd filter; no shuffle, no RNG state."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-        .cast("long") % F.lit(SAMPLE_BUCKETS)
-    )
+    # the proven cross-engine hash (fingerprint_col), reused rather
+    # than re-spelled so the sampling path can never silently diverge
+    # from the fingerprint path (code-review r5)
+    bucket = fingerprint_col(F.col(id_col).cast("string")) % F.lit(SAMPLE_BUCKETS)
     thr = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
     for key, frac in sorted(fractions.items()):
         thr = F.when(
@@ -438,7 +438,7 @@ def stratified_sample_sql(
     )
     return f"""
 SELECT {select} FROM {table}
-WHERE (('0x' || substr(md5(cast({id_col} AS VARCHAR)), 1, 15))::BIGINT
+WHERE ({fingerprint_sql_duckdb(f"cast({id_col} AS VARCHAR)")}
        % {SAMPLE_BUCKETS})
       < CASE {strata_col} {cases}
         ELSE {int(round(default_fraction * SAMPLE_BUCKETS))} END

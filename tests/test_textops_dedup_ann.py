@@ -899,3 +899,60 @@ def test_winnow_near_dup_guaranteed_detection(spark):
     pairs = set(map(tuple, got[["id1", "id2"]].itertuples(index=False)))
     for i in range(30):
         assert (2 * i, 2 * i + 1) in pairs, f"planted pair {i} missed"
+
+
+def test_ivf_build_validates_before_writing(spark, embs, tmp_path):
+    """code-review r5: a rebuild whose parameters are invalid must
+    raise BEFORE touching any on-disk table — raising after the
+    centroids overwrite left OLD lists readable against NEW centroids
+    under a still-valid meta (silent recall collapse). After the failed
+    rebuild the original index must still search exactly."""
+    path = str(tmp_path / "ivf_guarded")
+    ann.ivf_build_index(embs, path, n_centroids=8, list_shards=2, seed=42, pq=True, m=8)
+    meta_before = spark.read.parquet(f"{path}/meta").first().asDict()
+
+    with pytest.raises(ValueError, match="not divisible"):
+        ann.ivf_build_index(embs, path, n_centroids=8, list_shards=2, seed=7, pq=True, m=7)
+    with pytest.raises(ValueError, match="pq_encoding"):
+        ann.ivf_build_index(
+            embs, path, n_centroids=8, list_shards=2, seed=7, pq=True,
+            pq_encoding="residul",
+        )
+
+    pdf = embs.toPandas()
+    qdf = pdf.head(8)
+    queries = spark.createDataFrame(qdf).withColumnRenamed("vec_id", "qid")
+    got = (
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    want = _brute_cosine_oracle(qdf, pdf, 5)
+    for qid, grp in got.groupby("qid"):
+        assert list(grp["neighbor_id"]) == want[int(qid)], f"qid={qid}"
+    assert spark.read.parquet(f"{path}/meta").first().asDict() == meta_before
+
+    # a compressed-only index refuses full-precision search with a
+    # curated error, not a raw PATH_NOT_FOUND
+    pq_only = str(tmp_path / "ivf_pqonly")
+    ann.ivf_pq_build_index(embs, pq_only, n_centroids=8, list_shards=2, m=8, seed=42)
+    with pytest.raises(ValueError, match="codes only"):
+        ann.ivf_search(spark, pq_only, queries, 5, nprobe=8, q_id="qid")
+
+
+def test_ivf_rerank_same_params_different_data_raises(spark, embs, tmp_path):
+    """code-review r5: two indexes built with IDENTICAL parameters over
+    DIFFERENT corpus snapshots train different centroids -> different
+    (list_id, id) mappings; the parameter-only drift check passed and
+    silently mis-addressed. The centroid content signature in the meta
+    must catch it."""
+    pdf = embs.toPandas()
+    half = spark.createDataFrame(pdf.iloc[: len(pdf) // 2])
+    pq = str(tmp_path / "pq_snapA")
+    full = str(tmp_path / "full_snapB")
+    ann.ivf_pq_build_index(embs, pq, n_centroids=8, list_shards=2, m=8, seed=42)
+    ann.ivf_build_index(half, full, n_centroids=8, list_shards=2, seed=42)
+    queries = spark.createDataFrame(pdf.head(4)).withColumnRenamed("vec_id", "qid")
+    with pytest.raises(ValueError, match="centroid_sig"):
+        ann.ivf_pq_search(
+            spark, pq, queries, 5, nprobe=8, q_id="qid", rerank_path=full
+        )
