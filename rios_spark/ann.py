@@ -21,6 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -261,11 +262,20 @@ def _write_index_meta(spark, path: str, **meta) -> None:
 
 
 def _read_index_meta(spark, path: str) -> dict:
-    """Read `{path}/meta`; {} when the meta table is missing/empty."""
+    """Read `{path}/meta`; {} when the meta table is missing/empty.
+    Only the missing-path case maps to {} — a transient IO/permission/
+    listing failure must PROPAGATE, because mapping it to {} makes
+    _require_index_meta report 'index has no meta' and direct the
+    operator to ivf_write_meta with a guessed list_shards on an index
+    whose meta is actually fine — a wrong guess recreates exactly the
+    silent-recall-collapse the hard error exists to prevent (ADVICE
+    r5)."""
     try:
         row = spark.read.parquet(f"{path}/meta").first()
-    except Exception:
-        return {}
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return {}
+        raise
     return {} if row is None else row.asDict()
 
 
@@ -367,6 +377,15 @@ def _train_pq_codebooks(
     d = smat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if ksub > 256:
+        # codes are stored as uint8 (one byte per sub-code); with
+        # ksub > 256 _pq_encode's argmin indices above 255 would wrap
+        # silently, producing corrupt codes and garbage ADC scores with
+        # no error (ADVICE r5)
+        raise ValueError(
+            f"ksub={ksub} exceeds the uint8 code width (max 256); "
+            "use ksub <= 256 or increase m instead"
+        )
     dsub = d // m
 
     def train(x: np.ndarray) -> np.ndarray:
@@ -415,6 +434,34 @@ def _centroid_sig(centroids: np.ndarray) -> str:
     return hashlib.md5(
         np.ascontiguousarray(centroids, dtype=np.float64).tobytes()
     ).hexdigest()[:16]
+
+
+def _load_centroids_verified(spark, path: str, meta: dict) -> np.ndarray:
+    """Load `{path}/centroids` sorted by centroid_id and verify its
+    content signature against meta['centroid_sig']. The build writes
+    centroids/ FIRST and meta LAST, so a rebuild that crashes between
+    the two leaves NEW centroids under the OLD still-valid meta — a
+    search or append would then probe/assign under a stale list
+    mapping, the silent recall collapse _require_index_meta exists to
+    kill (ADVICE r5). One md5 over a tiny in-memory array closes the
+    window. Backfilled legacy metas without the key skip the check."""
+    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
+    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
+    centroids = np.stack(
+        cen_pdf["vec"].iloc[order].map(np.asarray).to_list()
+    ).astype(np.float64)
+    expected = meta.get("centroid_sig")
+    if expected is not None and _centroid_sig(centroids) != expected:
+        raise ValueError(
+            f"IVF index at {path!r} is inconsistent: the stored centroids' "
+            f"content signature {_centroid_sig(centroids)} does not match "
+            f"meta.centroid_sig {expected}. This is the half-written-rebuild "
+            "state (centroids/ overwritten, meta not yet) — the assigned/codes "
+            "lists were built under DIFFERENT centroids and probing them with "
+            "these would silently collapse recall. Re-run ivf_build_index to "
+            "completion."
+        )
+    return centroids
 
 
 def _encode_and_write(
@@ -611,10 +658,8 @@ def ivf_index_append(
     floats. Codes use the encoding recorded in the meta (residual for
     r5+ builds, raw for backfilled legacy ones)."""
     spark = data.sparkSession
-    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
-    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
-    centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
     meta = _require_index_meta(spark, path)
+    centroids = _load_centroids_verified(spark, path, meta)
     shards = int(meta["list_shards"])
     has_pq = "m" in meta and meta["m"] is not None
     has_full = bool(meta.get("has_full", not has_pq))
@@ -655,10 +700,8 @@ def ivf_search(
     touches only the probed lists' files; scoring is the same cogrouped
     GEMM + global top-k window as cosine_topk_ivf. nprobe == n_centroids
     is exact."""
-    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
-    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
-    centroids = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
     meta = _require_index_meta(spark, path)
+    centroids = _load_centroids_verified(spark, path, meta)
     if meta.get("has_full") is False:
         raise ValueError(
             f"index at {path!r} stores PQ codes only (no assigned/ float "
@@ -957,12 +1000,10 @@ def ivf_pq_search(
     SEPARATE full index is accepted only when its meta matches this
     index's build parameters (mismatch raises instead of silently
     mis-addressing (list_id, id))."""
-    cen_pdf = spark.read.parquet(f"{path}/centroids").toPandas()
-    order = np.argsort(cen_pdf["centroid_id"].to_numpy())
-    coarse = np.stack(cen_pdf["vec"].iloc[order].map(np.asarray).to_list()).astype(np.float64)
+    meta = _require_index_meta(spark, path)
+    coarse = _load_centroids_verified(spark, path, meta)
     codebooks = _read_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
-    meta = _require_index_meta(spark, path)
     shards = int(meta["list_shards"])
     # residual ADC (r5+ builds): codes encode v - c_list, so the score
     # adds back the per-(query, list) term q . c_list; 'raw' keeps the

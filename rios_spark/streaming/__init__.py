@@ -351,6 +351,7 @@ def stream_fingerprint_matches(
     corpus_id_col: str = "doc_id",
     k: int | None = None,
     sample_mod: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Ingest-time provenance/copy detection: fingerprint each arriving
     document (textops.doc_fingerprints — a pure stateless projection,
@@ -370,7 +371,16 @@ def stream_fingerprint_matches(
     state for every pair ever seen. Each arriving doc lives in exactly
     one micro-batch, so a min-shared threshold is a per-batch
     aggregation — apply it downstream in foreachBatch (as the parity
-    test does) or over the sink table."""
+    test does) or over the sink table.
+
+    exclude_self=True (the default) drops rows where stream_id equals
+    corpus_id — the right behavior when the stream re-delivers
+    documents that are ALREADY in the corpus under the same id (the
+    re-crawl case). It assumes the two sides share ONE id namespace:
+    if they are numbered independently, a stream doc whose id happens
+    to collide with an unrelated corpus doc's id would have its
+    genuine copy-detection match silently dropped (ADVICE r5) — pass
+    exclude_self=False for disjoint-namespace callers."""
     from rios_spark.textops import FP_K, FP_SAMPLE_MOD, doc_fingerprints
 
     fps = doc_fingerprints(
@@ -380,6 +390,7 @@ def stream_fingerprint_matches(
     corpus = corpus_fps.select(
         F.col("fp"), F.col(corpus_id_col).alias("corpus_id")
     )
-    return fps.join(corpus, "fp").filter(
-        F.col("stream_id") != F.col("corpus_id")
-    ).select("stream_id", "corpus_id", "fp")
+    joined = fps.join(corpus, "fp")
+    if exclude_self:
+        joined = joined.filter(F.col("stream_id") != F.col("corpus_id"))
+    return joined.select("stream_id", "corpus_id", "fp")

@@ -841,3 +841,38 @@ def test_stream_fingerprint_matches_corpus_copies(spark, tmp_path):
         map(tuple, batch[key].itertuples(index=False))
     )
     corpus_fps.unpersist()
+
+
+def test_stream_fingerprint_matches_exclude_self_flag(spark):
+    """ADVICE r5: the stream_id != corpus_id self-match suppression
+    assumes ONE shared id namespace. With independently-numbered
+    sides, a stream doc whose id collides with an unrelated corpus
+    doc's id would have its genuine copy-detection match silently
+    dropped — exclude_self=False must keep it. (doc_fingerprints is a
+    stateless projection, so the operator accepts batch frames too —
+    tested in batch for speed; the streaming plumbing is pinned by
+    test_stream_fingerprint_matches_corpus_copies.)"""
+    import numpy as np
+    import pandas as pd
+
+    from rios_spark.streaming import stream_fingerprint_matches
+
+    rng = np.random.default_rng(43)
+    alpha = np.array(list("abcdefghij klmno"))
+    text = "".join(rng.choice(alpha, 500))
+    # corpus doc id=7 and an UNRELATED stream doc that happens to also
+    # carry id=7 but copies corpus text -> a genuine match on a
+    # colliding id
+    corpus = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": [text]}))
+    stream_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": [text[50:470]]})
+    )
+    from rios_spark import textops
+
+    corpus_fps = textops.doc_fingerprints(corpus)
+
+    dropped = stream_fingerprint_matches(stream_docs, corpus_fps).count()
+    kept = stream_fingerprint_matches(
+        stream_docs, corpus_fps, exclude_self=False
+    ).count()
+    assert dropped == 0 and kept > 0

@@ -956,3 +956,76 @@ def test_ivf_rerank_same_params_different_data_raises(spark, embs, tmp_path):
         ann.ivf_pq_search(
             spark, pq, queries, 5, nprobe=8, q_id="qid", rerank_path=full
         )
+
+
+def test_ivf_half_written_rebuild_detected(spark, embs, tmp_path):
+    """ADVICE r5 (medium): the build writes centroids/ FIRST and meta
+    LAST, so a rebuild that crashes between the two leaves NEW
+    centroids under the OLD still-valid meta — every load surface
+    (ivf_search, ivf_pq_search, ivf_index_append) must verify the
+    stored centroids' content signature against meta.centroid_sig and
+    refuse to probe a stale list mapping."""
+    path = str(tmp_path / "ivf_halfwritten")
+    ann.ivf_build_index(embs, path, n_centroids=8, list_shards=2, seed=42, pq=True, m=8)
+
+    # simulate the crashed rebuild: overwrite centroids/ with a
+    # perturbed set while the original meta (and lists) stay on disk
+    cen = spark.read.parquet(f"{path}/centroids").toPandas()
+    cen["vec"] = cen["vec"].map(lambda v: [x * 0.5 + 0.1 for x in v])
+    spark.createDataFrame(cen).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+    pdf = embs.toPandas()
+    queries = spark.createDataFrame(pdf.head(4)).withColumnRenamed("vec_id", "qid")
+    with pytest.raises(ValueError, match="inconsistent"):
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+    with pytest.raises(ValueError, match="inconsistent"):
+        ann.ivf_pq_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+    with pytest.raises(ValueError, match="inconsistent"):
+        ann.ivf_index_append(embs.limit(5), path)
+
+    # a legacy meta without the signature key skips the check (backfill
+    # path): drop the key and the search must run again
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    meta.pop("centroid_sig")
+    ann._write_index_meta(spark, path, **meta)
+    got = ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid").toPandas()
+    assert len(got) == 20
+
+
+def test_ivf_ksub_over_uint8_raises_before_write(spark, embs, tmp_path):
+    """ADVICE r5: ksub > 256 would silently wrap _pq_encode's argmin
+    indices in the uint8 code dtype — corrupt codes, garbage ADC, no
+    error. The build must raise up front, before any table is
+    touched."""
+    path = str(tmp_path / "ivf_ksub")
+    with pytest.raises(ValueError, match="uint8"):
+        ann.ivf_pq_build_index(embs, path, n_centroids=8, list_shards=2, m=8, ksub=300)
+    import os
+
+    assert not os.path.exists(path)
+
+
+def test_ivf_corrupt_meta_propagates_not_no_meta(spark, embs, tmp_path):
+    """ADVICE r5 (low): _read_index_meta maps ONLY the missing-path
+    case to {}; any other read failure (here: a corrupt meta file)
+    must propagate as-is rather than surface as 'index has no meta
+    table' — that message directs the operator to ivf_write_meta with
+    a guessed list_shards, and a wrong guess on an index whose meta is
+    actually fine recreates the silent recall collapse."""
+    import shutil
+
+    path = str(tmp_path / "ivf_corruptmeta")
+    ann.ivf_build_index(embs, path, n_centroids=8, list_shards=2, seed=42)
+    shutil.rmtree(f"{path}/meta")
+    import os
+
+    os.makedirs(f"{path}/meta")
+    with open(f"{path}/meta/part-00000.parquet", "wb") as f:
+        f.write(b"this is not parquet")
+    pdf = embs.toPandas()
+    queries = spark.createDataFrame(pdf.head(2)).withColumnRenamed("vec_id", "qid")
+    with pytest.raises(Exception) as exc_info:
+        ann.ivf_search(spark, path, queries, 5, nprobe=8, q_id="qid")
+    assert "no meta table" not in str(exc_info.value)
