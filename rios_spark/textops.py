@@ -169,12 +169,100 @@ def _nest(ladder: list[tuple[str, str]], body: str) -> str:
     return body
 
 
+def _fps_batch_numpy(
+    texts: list, k: int, w: int | None, sample_mod: int | None
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """BATCH-CONCATENATED fingerprint kernel shared by the arrow impls
+    of doc_fingerprints (w=None, 0-mod-p sampling) and
+    doc_fingerprints_winnow (sample_mod=None, window minima). The whole
+    Arrow batch's texts are joined into ONE code-point array so every
+    step is a handful of numpy vector ops over the batch — a per-doc
+    Python loop would pay ~15 numpy-call overheads per document (the r5
+    lang_id lesson: vectorization only wins when the loop disappears).
+    Cross-document garbage positions are never selected: per-doc valid
+    k-gram starts are [s, s+L-k] and winnow window starts
+    [s, s+L-k-w+1], both fully inside the doc's own span. Arithmetic is
+    the same Horner mod (FP_BASE, FP_MOD) as the JVM ladder and the
+    DuckDB oracle, so the three implementations are value-identical
+    (utf-32 code points == Spark ascii() == DuckDB ord()). Returns
+    (row_index, fp) with fps distinct per doc."""
+    import numpy as np
+
+    n_docs = len(texts)
+    lens = np.fromiter(
+        (len(t) if isinstance(t, str) else 0 for t in texts), np.int64, n_docs
+    )
+    min_len = k + ((w - 1) if w else 0)
+    keep = np.flatnonzero(lens >= min_len)
+    if keep.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens_k = lens[keep]
+    big = "".join(texts[i] for i in keep)
+    codes = np.frombuffer(big.encode("utf-32-le"), np.uint32).astype(np.int64)
+    n_h = len(codes) - k + 1
+    h = codes[:n_h].copy()
+    for j in range(1, k):
+        h *= FP_BASE
+        h += codes[j : j + n_h]
+        h %= FP_MOD
+    starts = np.concatenate(([0], np.cumsum(lens_k)))[:-1]
+    if w:
+        # sliding-window minima via the same doubling ladder as the JVM
+        # expr: lev[i] = min(h[i .. i+span-1]), two overlapping spans
+        # merge to any target w in O(len log w)
+        lev, span = h, 1
+        while span < w:
+            d = min(span, w - span)
+            m = len(lev) - d
+            lev = np.minimum(lev[:m], lev[d : d + m])
+            span += d
+        n_sel = lens_k - k - w + 2
+        vals = lev
+    else:
+        n_sel = lens_k - k + 1
+        vals = h
+    doc_idx = np.repeat(np.arange(keep.size), n_sel)
+    # ragged per-doc ranges without a Python loop: global position =
+    # doc char start + local rank within the doc
+    sel_starts = np.concatenate(([0], np.cumsum(n_sel)))[:-1]
+    loc = np.arange(doc_idx.size) - np.repeat(sel_starts, n_sel)
+    pos = starts[doc_idx] + loc
+    fps = vals[pos]
+    if sample_mod:
+        m2 = fps % sample_mod == 0
+        doc_idx, fps = doc_idx[m2], fps[m2]
+    # per-doc distinct: pack (doc, fp) into one int64 (fp < FP_MOD =
+    # 2^31 - 1, so 31 bits hold it) and unique once for the batch
+    uk = np.unique((doc_idx << 31) | fps)
+    return keep[(uk >> 31)], uk & np.int64((1 << 31) - 1)
+
+
+def _fps_map_in_pandas(df, text_col, id_col, k, w, sample_mod):
+    """mapInPandas wrapper over _fps_batch_numpy preserving the input
+    id column's type. Zero-shuffle, like the expr path."""
+    id_type = dict(df.dtypes)[id_col]
+
+    def kern(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ridx, fps = _fps_batch_numpy(pdf[text_col].tolist(), k, w, sample_mod)
+            if ridx.size == 0:
+                continue
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[ridx], "fp": fps}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kern, f"{id_col} {id_type}, fp long")
+
+
 def doc_fingerprints(
     df,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = FP_K,
     sample_mod: int = FP_SAMPLE_MOD,
+    impl: str = "arrow",
 ):
     """Rolling-hash document fingerprinting (the training-data op the
     build spec names): hash every character k-gram, keep the ~1/p
@@ -195,7 +283,18 @@ def doc_fingerprints(
     and allocated a k-array per position), sampling and per-doc dedup
     happen INSIDE the array (filter + array_distinct), and only the
     ~len/p surviving fingerprints are exploded. Docs shorter than k
-    emit nothing."""
+    emit nothing.
+
+    impl='arrow' (default — measured faster end-to-end, see
+    _fps_batch_numpy) computes the identical values in one
+    batch-concatenated numpy kernel; 'expr' keeps the pure-JVM
+    higher-order-expression plan (still the streaming-safe and
+    dependency-light spelling; both are pinned value-identical by
+    test)."""
+    if impl == "arrow":
+        return _fps_map_in_pandas(
+            df.filter(F.length(text_col) >= k), text_col, id_col, k, None, sample_mod
+        )
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
     ladder, hvar = _kgram_hash_ladder(text_col, k)
     body = (
@@ -215,6 +314,7 @@ def doc_fingerprints_winnow(
     id_col: str = "doc_id",
     k: int = FP_K,
     w: int = 16,
+    impl: str = "arrow",
 ):
     """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS scheme): the minimum k-gram hash of every
@@ -244,7 +344,16 @@ def doc_fingerprints_winnow(
     final windows read. A w-window min is then one lookup (w a power
     of two: the whole window array is just slice(L_log2w, 1, n-w+1))
     or least() of two overlapping 2^s-windows (general w) — O(len *
-    log w) total, each level let-bound so it evaluates once per doc."""
+    log w) total, each level let-bound so it evaluates once per doc.
+
+    impl='arrow' (default — measured faster end-to-end, see
+    _fps_batch_numpy) computes the identical value set in one
+    batch-concatenated numpy kernel; 'expr' keeps the pure-JVM ladder
+    plan. Both pinned value-identical by test."""
+    if impl == "arrow":
+        return _fps_map_in_pandas(
+            df.filter(F.length(text_col) >= k + w - 1), text_col, id_col, k, w, None
+        )
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
     hladder, hvar = _kgram_hash_ladder(text_col, k)
     s = max(0, w.bit_length() - 1)  # floor(log2 w)

@@ -1101,3 +1101,30 @@ def test_ivf_append_staleness_signal(spark, embs, tmp_path):
     got3 = ann.ivf_index_append(healthy, path)
     assert got3["stale"] is False
     assert spark.read.parquet(f"{path}/meta").first().asDict()["stale"] is True
+
+
+def test_embedding_topk_indexed_partition_pruned(spark):
+    """VERDICT r5 #1: the oracle-backed serving-path query must keep
+    the plan shape that matters at 100 TB — the probed list ids pushed
+    into the assigned-table read as a list_id partition filter."""
+    from rios_spark.queries import q_embedding_topk_indexed
+
+    df = q_embedding_topk_indexed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan
+    assert len(df.toPandas()) == 100
+
+
+def test_fingerprint_impls_value_identical(spark, docs):
+    """The arrow (batch-concatenated numpy) and expr (JVM ladder)
+    implementations of both fingerprint families must be VALUE-
+    identical on the real corpus — same Horner mod arithmetic, same
+    window minima, same per-doc dedup (VERDICT r5 #6: the arrow path
+    is the measured-faster default; the expr path stays as the
+    dependency-light spelling and this pin keeps them honest)."""
+    for fn in (textops.doc_fingerprints, textops.doc_fingerprints_winnow):
+        a = fn(docs, impl="arrow").toPandas()
+        e = fn(docs, impl="expr").toPandas()
+        assert set(zip(a["doc_id"], a["fp"])) == set(zip(e["doc_id"], e["fp"]))
+        # distinct per doc in both
+        assert not a.duplicated().any() and not e.duplicated().any()
