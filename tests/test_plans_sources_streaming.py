@@ -876,3 +876,236 @@ def test_stream_fingerprint_matches_exclude_self_flag(spark):
         stream_docs, corpus_fps, exclude_self=False
     ).count()
     assert dropped == 0 and kept > 0
+
+
+def test_stream_batch_oracle_threeway_dedup(spark, tmp_path):
+    """VERDICT r5 #5: stream_dedup_exact lifted to the full THREE-WAY
+    equivalence sessionize already has — the stream's keep-set ==
+    dedup.exact_dedup's batch keep-set == the DuckDB oracle, on one
+    fixture with duplicates both inside a micro-batch and across
+    micro-batches. Files arrive in ascending page_id order so the
+    stream's first-arrival-wins semantics coincide with the batch
+    operator's min-id-wins — the documented alignment condition."""
+    import time
+
+    import duckdb
+
+    from rios_spark import dedup
+    from rios_spark.streaming import stream_dedup_exact
+
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "delta", "gamma"]
+    pdf = pd.DataFrame({"page_id": range(8), "text": texts})
+    src = tmp_path / "threeway_dd"
+    src.mkdir()
+    pdf.iloc[:4].to_parquet(src / "f1.parquet")
+    time.sleep(0.2)
+    pdf.iloc[4:].to_parquet(src / "f2.parquet")
+
+    stream = (
+        spark.readStream.schema("page_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream, "text", "page_id")
+        .writeStream.format("memory")
+        .queryName("threeway_dd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from threeway_dd_test").toPandas()
+
+    batch = (
+        dedup.exact_dedup(spark.createDataFrame(pdf), "text", "page_id")
+        .select(F.md5("text").alias("content_hash"), "page_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    oracle = con.execute(
+        "select md5(text) content_hash, min(page_id) page_id from pages group by 1"
+    ).df()
+
+    norm = lambda d: set(zip(d["content_hash"], d["page_id"]))  # noqa: E731
+    assert norm(got) == norm(batch) == norm(oracle)
+    assert len(got) == 4  # alpha, beta, gamma, delta — each exactly once
+
+
+def test_stream_batch_oracle_threeway_dedup_ttl(spark, tmp_path):
+    """The TTL-eviction contract as a three-way. With ProcessingTime
+    timeouts a key is evicted only at a trigger where it received NO
+    data after its deadline lapsed — a key with data in consecutive
+    micro-batches keeps refreshing its deadline and never re-emits. So
+    with a 1 ms TTL and inter-batch sleeps, the keep-set is "first id
+    per (hash, RUN of consecutive batches containing the hash)": the
+    stream must equal that computed in batch (Spark window functions)
+    and by the DuckDB oracle (same run derivation in SQL)."""
+    import time
+
+    import duckdb
+
+    from rios_spark.streaming import stream_dedup_exact
+
+    # f1: alpha x2 + beta; f2: gamma; f3: alpha + gamma.
+    # Runs: alpha [f1],[f3] -> keeps 0 and 4; beta [f1] -> 2;
+    # gamma [f2,f3] (consecutive: deadline refreshed, no re-emit) -> 3.
+    f1 = pd.DataFrame({"page_id": [0, 1, 2], "text": ["alpha", "alpha", "beta"]})
+    f2 = pd.DataFrame({"page_id": [3], "text": ["gamma"]})
+    f3 = pd.DataFrame({"page_id": [4, 5], "text": ["alpha", "gamma"]})
+    src = tmp_path / "threeway_ddttl"
+    src.mkdir()
+    for i, f in enumerate((f1, f2, f3)):
+        f.to_parquet(src / f"f{i}.parquet")
+        time.sleep(0.3)
+
+    stream = (
+        spark.readStream.schema("page_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_dedup_exact(stream, "text", "page_id", ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("threeway_ddttl_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("select * from threeway_ddttl_test").count() >= 4:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("select * from threeway_ddttl_test").toPandas()
+
+    both = pd.concat(
+        [f.assign(batch_id=i) for i, f in enumerate((f1, f2, f3))],
+        ignore_index=True,
+    )
+
+    # batch mirror: min id per (hash, batch), runs of consecutive
+    # batch_ids per hash, then min id per run — Spark window functions
+    from pyspark.sql.window import Window
+
+    firsts = (
+        spark.createDataFrame(both)
+        .groupBy(F.md5("text").alias("content_hash"), "batch_id")
+        .agg(F.min("page_id").alias("pid"))
+    )
+    w = Window.partitionBy("content_hash").orderBy("batch_id")
+    batch = (
+        firsts.withColumn("prev", F.lag("batch_id").over(w))
+        .withColumn(
+            "new_run",
+            (F.col("prev").isNull() | (F.col("batch_id") - F.col("prev") > 1)).cast("int"),
+        )
+        .withColumn("run", F.sum("new_run").over(w))
+        .groupBy("content_hash", "run")
+        .agg(F.min("pid").alias("page_id"))
+        .select("content_hash", "page_id")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register("pages", both)
+    oracle = con.execute(
+        """
+        with firsts as (
+          select md5(text) content_hash, batch_id, min(page_id) pid
+          from pages group by 1, 2),
+        runs as (
+          select content_hash, batch_id, pid,
+                 sum(case when prev is null or batch_id - prev > 1
+                          then 1 else 0 end)
+                   over (partition by content_hash order by batch_id) run
+          from (select *, lag(batch_id) over
+                  (partition by content_hash order by batch_id) prev
+                from firsts))
+        select content_hash, min(pid) page_id
+        from runs group by content_hash, run
+        """
+    ).df()
+
+    norm = lambda d: set(zip(d["content_hash"], d["page_id"]))  # noqa: E731
+    assert norm(got) == norm(batch) == norm(oracle)
+    # alpha emitted twice (evicted during f2), gamma once (refreshed)
+    assert len(got) == 4
+
+
+def test_stream_batch_oracle_threeway_pair_join(spark, tmp_path):
+    """VERDICT r5 #5: stream_pair_join's three-way — the stream's
+    matched pairs == the identical batch join == a DuckDB oracle that
+    re-derives the tile key with the SHARED cell_sql text (identical
+    bigints on both engines) and applies the same +/- 30 min skew
+    window."""
+    import duckdb
+
+    from rios_spark.grid import cell_sql
+    from rios_spark.streaming import stream_pair_join
+
+    pdf = datagen.gen_pages(3000)
+    left_pdf = pdf[pdf["page_id"] % 2 == 0]
+    right_pdf = pdf[pdf["page_id"] % 2 == 1]
+    lsrc, rsrc = str(tmp_path / "pj3_l"), str(tmp_path / "pj3_r")
+    cols = ["page_id", "warc_ts", "lat", "lon"]
+    spark.createDataFrame(left_pdf[cols]).write.parquet(lsrc)
+    spark.createDataFrame(right_pdf[cols]).write.parquet(rsrc)
+
+    schema = spark.read.parquet(lsrc).schema
+    ls = spark.readStream.schema(schema).parquet(lsrc)
+    rs = spark.readStream.schema(schema).parquet(rsrc)
+    q = (
+        stream_pair_join(ls, rs, RES, max_skew="30 minutes")
+        .writeStream.format("memory")
+        .queryName("pj3_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from pj3_test").toPandas()
+
+    l = (
+        spark.read.parquet(lsrc)
+        .withColumn("cell", cell_col("lat", "lon", RES))
+        .select("cell", F.col("page_id").alias("left_id"), F.col("warc_ts").alias("left_ts"))
+    )
+    r = (
+        spark.read.parquet(rsrc)
+        .withColumn("cell", cell_col("lat", "lon", RES))
+        .select(F.col("cell").alias("r_cell"), F.col("page_id").alias("right_id"),
+                F.col("warc_ts").alias("right_ts"))
+    )
+    batch = (
+        l.join(
+            r,
+            (l["cell"] == r["r_cell"])
+            & (r["right_ts"] >= F.expr("left_ts - interval 30 minutes"))
+            & (r["right_ts"] <= F.expr("left_ts + interval 30 minutes")),
+            "inner",
+        )
+        .select("left_id", "right_id")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register("lp", left_pdf[cols])
+    con.register("rp", right_pdf[cols])
+    cell = cell_sql("lat", "lon", RES)
+    oracle = con.execute(
+        f"""
+        with l as (select {cell} cell, page_id left_id, warc_ts left_ts from lp),
+             r as (select {cell} cell, page_id right_id, warc_ts right_ts from rp)
+        select left_id, right_id from l join r using (cell)
+        where right_ts between left_ts - interval 30 minutes
+                           and left_ts + interval 30 minutes
+        """
+    ).df()
+
+    norm = lambda d: set(zip(d["left_id"], d["right_id"]))  # noqa: E731
+    assert len(got) == len(norm(got)), "stream emitted a duplicate pair"
+    assert norm(got) == norm(batch) == norm(oracle)
+    assert len(norm(oracle)) > 20
