@@ -373,7 +373,15 @@ def _train_pq_codebooks(
     1.26x raw, ADC recall 0.453 residual vs 0.495 raw at m=16)
     subtracting the centroid SPREADS the distribution and hurts. The
     chosen encoding is recorded in the index meta; search decodes
-    accordingly. Returns (chosen_encoding, codebooks)."""
+    accordingly. Returns (chosen_encoding, codebooks).
+
+    An OPQ pre-rotation (Ge et al. CVPR'13) was prototyped and REFUTED
+    by measurement on this corpus family (r6): per-subspace variance
+    is already balanced (ratio 1.048 across m=16 subspaces; eigen
+    spread p90/p10 = 1.47), so 8 OPQ-NP iterations moved ADC recall@10
+    only 0.5316 -> 0.5372 while the same code gains +0.028 on an
+    anisotropic control — see BENCH/OPQ_REFUTATION_r6.md. The shipped
+    recall levers stay m=32 or ADC+exact-rerank."""
     d = smat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
