@@ -407,22 +407,47 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     ensure_pages(spark)
 
-    qtimes: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm (plan + fs cache)
+    # VERDICT r5 #2: single-run times on this oversubscribed host drift
+    # up to ~35% between rounds from host windows alone (knn_cust_supp
+    # read 1.739 s in the r5 snapshot while an interleaved A/B measured
+    # 0.760 s on the same code). Publish MEDIANS over ROUNDS fully
+    # interleaved passes (q1..qn per round, never n back-to-back runs
+    # of one query — a sick window then biases every query a little
+    # instead of one query a lot), with min/max spread per query and a
+    # small pure-ALU control timed once per round so a sick window is
+    # visible in the published record itself.
+    from pyspark.sql import functions as F
+
+    def _alu_round() -> float:
+        x = (F.col("id") % 1000).cast("double")
+        ctl = spark.range(60_000_000, numPartitions=CPUS * 4).select(
+            F.sum(F.sin(x) * F.cos(x) + F.sqrt(x + 1.0) - F.log(x + 2.0)).alias("s")
+        )
         t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        qtimes[name] = round(time.monotonic() - t0, 3)
-    # secondary table: every remaining registered query, so each
-    # operator family has a published number (r2 VERDICT #8)
-    stimes: dict[str, float] = {}
-    for name in sorted(set(QUERIES) - set(HEADLINE)):
-        fn = QUERIES[name]
-        fn(spark, SF_DIR).count()
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        stimes[name] = round(time.monotonic() - t0, 3)
+        ctl.collect()
+        return round(time.monotonic() - t0, 3)
+
+    ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    # secondary = every remaining registered query, so each operator
+    # family has a published number (r2 VERDICT #8)
+    all_names = HEADLINE + sorted(set(QUERIES) - set(HEADLINE))
+    for name in all_names:
+        QUERIES[name](spark, SF_DIR).count()  # warm (plan + fs cache)
+    samples: dict[str, list[float]] = {name: [] for name in all_names}
+    controls: list[float] = []
+    for _ in range(ROUNDS):
+        controls.append(_alu_round())
+        for name in all_names:
+            t0 = time.monotonic()
+            _force(QUERIES[name](spark, SF_DIR))
+            samples[name].append(round(time.monotonic() - t0, 3))
+
+    def _median(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    qtimes = {n: _median(samples[n]) for n in HEADLINE}
+    stimes = {n: _median(samples[n]) for n in all_names if n not in HEADLINE}
+    qspread = {n: [min(samples[n]), max(samples[n])] for n in all_names}
     ann_stats = bench_ann(spark)
     knn_stats = bench_knn_scale(spark)
     text_stats = bench_textops_scale(spark)
@@ -461,6 +486,9 @@ def main() -> None:
         "value": round(sum(qtimes.values()), 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_spread": qspread,
+        "bench_rounds": ROUNDS,
+        "headline_alu_controls": controls,
         "sf": sf,
         "pages_per_sec": {
             str(k): round(levels[k]["pages_per_sec"], 1) for k in levels
@@ -513,8 +541,15 @@ repeated serving queries, always.
 
 def _write_baseline_md(result, levels, lo_k, hi_k) -> None:
     os.makedirs("BENCH", exist_ok=True)
-    q_rows = "\n".join(f"| {n} | {s:.3f} |" for n, s in result["queries"].items())
-    s_rows = "\n".join(f"| {n} | {s:.3f} |" for n, s in result["secondary"].items())
+    spread = result.get("queries_spread", {})
+
+    def _row(n, s):
+        lo, hi = spread.get(n, (s, s))
+        return f"| {n} | {s:.3f} | {lo:.3f} – {hi:.3f} |"
+
+    q_rows = "\n".join(_row(n, s) for n, s in result["queries"].items())
+    s_rows = "\n".join(_row(n, s) for n, s in result["secondary"].items())
+    ctl_list = ", ".join(f"{c:.2f}" for c in result.get("headline_alu_controls", []))
     md = f"""# BENCH/BASELINE — measured engine performance
 
 ## Scaling gate (BASELINE.json: >= 0.8 efficiency between N and 4N)
@@ -561,21 +596,23 @@ thousands of executors.
 
 ## Headline operator queries at sf{result['sf']} on local[{CPUS}]
 
-| query | wall (s) |
-|---|---|
+MEDIAN of {result.get('bench_rounds', 1)} fully interleaved rounds
+(q1..qn per round, an ALU control timed per round — VERDICT r5 #2:
+single-run numbers on this host drift up to ~35% from hypervisor
+windows alone; BENCH/AB_DRIFT_r5.md). Per-round ALU control walls:
+{ctl_list} s — a drifting control marks a sick window in the record
+itself.
+
+| query | median (s) | min – max |
+|---|---|---|
 {q_rows}
 
-Total: {result['value']:.3f} s
-
-Single-run times on this oversubscribed host drift up to ~35% between
-rounds from host windows alone: BENCH/AB_DRIFT_r5.md records an
-interleaved HEAD-vs-r3 A/B with an ALU control settling the r4 drift
-question (no code regressions; two queries measurably faster).
+Total (sum of medians): {result['value']:.3f} s
 
 ## Secondary queries (every remaining registered query) at sf{result['sf']} on local[{CPUS}]
 
-| query | wall (s) |
-|---|---|
+| query | median (s) | min – max |
+|---|---|---|
 {s_rows}
 
 ## Distributed kNN at scale ({result['knn_scale']['n_data']:,} data x {result['knn_scale']['n_queries']:,} queries, k={result['knn_scale']['k']})

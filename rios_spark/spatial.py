@@ -580,6 +580,7 @@ def _knn_residual_scan(
     d_id: str,
     chunk: int | None = None,
     quantize: float | None = None,
+    n_residue_hint: int | None = None,
 ) -> DataFrame:
     """Exact distributed brute force for a SMALL query set against an
     arbitrarily large data side: the residue queries are collected and
@@ -593,6 +594,29 @@ def _knn_residual_scan(
     chunk = chunk or KNN_RESIDUAL_CHUNK
     key_cols = list(dict.fromkeys([*part_cols, q_lat, q_lon]))
     parts: list[DataFrame] = []
+    # fast path (r6): when the caller can BOUND the residue below the
+    # chunk cap (knn_tiled knows n_residual arithmetically from the
+    # phase counters), one plain collect() fetches it in a single job —
+    # toLocalIterator pays sequential per-partition round-trips that
+    # were a visible share of the sf0.01 wall, where the whole phase is
+    # fixed job latency, and limit(chunk+1) was measured WORSE
+    # (CollectLimit scans partitions in escalating sequential stages).
+    # The driver-memory bound is the hint, same constant class as the
+    # iterator path's chunk + one partition.
+    if n_residue_hint is not None and n_residue_hint <= chunk:
+        rows = bad_q.select(*key_cols).collect()
+        if not rows:
+            return bad_q.limit(0).withColumns(
+                {
+                    "neighbor_id": F.lit(None).cast("long"),
+                    "dist_km": F.lit(None).cast("double"),
+                    "rank": F.lit(None).cast("int"),
+                }
+            )
+        return _residual_scan_chunk(
+            bad_q, data, k, part_cols, key_cols, rows,
+            q_lat, q_lon, d_lat, d_lon, d_id, quantize=quantize,
+        )
     buf: list = []
     # toLocalIterator streams one partition at a time to the driver —
     # the driver never holds more than (chunk + one partition) rows
@@ -750,10 +774,10 @@ def knn_tiled(
     from rios_spark.grid import kring_cells_var_col
     from rios_spark.margin import OWNER, with_margin
 
-    if ring == "auto":
-        from rios_spark.ann import fast_count
+    from rios_spark.ann import fast_count
 
-        n_data = fast_count(data)
+    n_data = fast_count(data)
+    if ring == "auto":
         if k >= n_data:
             # every query's answer is ALL data rows: no ring can prove
             # anything and the data side is <= k rows — small by
@@ -844,9 +868,31 @@ def knn_tiled(
     n = 1 << res
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
     # residue with no usable distance bound (< k candidates seen) or
-    # already probed at the radius cap goes straight to the final scan
+    # already probed at the radius cap goes straight to the final scan.
+    # RING-UTILITY bound (r6 — the sf0.01 inverse-scaling fix): when
+    # data is sparse relative to the k-th distance, the ring radius a
+    # query NEEDS makes the (2r+1)^2 k-ring explosion cost at least a
+    # full data scan — two escalation rounds then a scan anyway was
+    # measured 4.5x SLOWER at sf0.01 than sf0.1 (9.3 vs 1.9 s; 133 of
+    # 157 unproven queries re-probed twice for nothing). The
+    # latitude-derived radius (kth_deg / cell_lat_deg) is a LOWER bound
+    # on the real per-query radius (the longitude term only widens it),
+    # so `(2*lb+1)^2 >= n_data` proves the scan is cheaper before
+    # paying for the ring — and it is computable from bad_keys columns
+    # alone, keeping the escalate-or-scan split a pure filter.
+    _lb_radius = F.greatest(
+        F.ceil(
+            (F.col("__kd") / F.lit(EARTH_RADIUS_KM * np.pi / 180.0))
+            / F.lit(180.0 / n)
+        )
+        + 1,
+        F.col("__r") * 2,
+    )
     esc_pred = (
-        (F.col("__nf") >= k) & F.col("__kd").isNotNull() & (F.col("__r") < max_radius)
+        (F.col("__nf") >= k)
+        & F.col("__kd").isNotNull()
+        & (F.col("__r") < max_radius)
+        & ((2 * _lb_radius + 1) * (2 * _lb_radius + 1) < F.lit(int(n_data)))
     )
 
     # one agg = one job per phase for BOTH control decisions (is the
@@ -957,7 +1003,7 @@ def knn_tiled(
     bad_q = queries.join(F.broadcast(residual_keys), part_cols, "left_semi")
     fixed = _knn_residual_scan(
         bad_q, data, k, part_cols, q_lat, q_lon, d_lat, d_lon, d_id,
-        quantize=quantize,
+        quantize=quantize, n_residue_hint=n_residual,
     ).select(*qcols, "neighbor_id", "dist_km", F.col("rank").cast("int").alias("rank"))
     outs.append(fixed)
     return _finish(_union_all(outs))

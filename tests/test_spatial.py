@@ -446,10 +446,14 @@ def test_knn_tiled_phase_counters(spark):
     queries that pass 0 could not (nfound >= k but kth >= guard)."""
     res = 5
     rng = np.random.default_rng(55)
-    # moderately sparse data: ring-1 finds candidates but often cannot
-    # certify them, so escalation does real work
+    # DENSE data with a deliberately-too-small first ring: ring-1 finds
+    # candidates but often cannot certify them, and the data is dense
+    # enough that the r6 ring-utility bound ((2*lb+1)^2 < n_data) says
+    # escalating beats scanning — so the escalation loop does real
+    # work. (A sparse fixture now correctly routes the residue straight
+    # to the scan, which test_knn_tiled_sparse_goes_to_scan pins.)
     ddf = pd.DataFrame(
-        {"id": np.arange(120), "lat": rng.uniform(-60, 60, 120), "lon": rng.uniform(-170, 170, 120)}
+        {"id": np.arange(400), "lat": rng.uniform(-60, 60, 400), "lon": rng.uniform(-170, 170, 400)}
     )
     qdf = pd.DataFrame(
         {"qid": np.arange(60), "lat": rng.uniform(-60, 60, 60), "lon": rng.uniform(-170, 170, 60)}
@@ -458,7 +462,9 @@ def test_knn_tiled_phase_counters(spark):
     data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
     counters = {}
     got = (
-        spatial.knn_tiled(queries, data, 3, res, d_id="id", q_id="qid", counters=counters)
+        spatial.knn_tiled(
+            queries, data, 3, res, ring=1, d_id="id", q_id="qid", counters=counters
+        )
         .toPandas().sort_values(["qid", "rank"])
     )
     assert len(got) == 60 * 3
@@ -658,3 +664,35 @@ def test_knn_tiled_registers_caches_incrementally(spark):
     assert all(f.storageLevel.useMemory for f in frames)
     release_caches(spark, "knn_tiled")
     assert all(not f.storageLevel.useMemory for f in frames)
+
+
+def test_knn_tiled_sparse_goes_to_scan(spark):
+    """r6 ring-utility bound: on SPARSE data the k-th distances are so
+    large that any certifying ring's (2r+1)^2 explosion costs at least
+    a full data scan — the residue must skip the escalation loop
+    entirely (measured 4.5x wall at sf0.01 when it didn't) and resolve
+    exactly in the residual scan."""
+    res = 5
+    rng = np.random.default_rng(56)
+    ddf = pd.DataFrame(
+        {"id": np.arange(60), "lat": rng.uniform(-80, 80, 60), "lon": rng.uniform(-180, 180, 60)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(50), "lat": rng.uniform(-80, 80, 50), "lon": rng.uniform(-180, 180, 50)}
+    )
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+    counters = {}
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, d_id="id", q_id="qid", counters=counters)
+        .toPandas().sort_values(["qid", "rank"])
+    )
+    # no escalation round ran — the whole residue was scan-routed
+    assert "unproven_escalation_0" not in counters
+    assert counters["residual_scan"] == counters["unproven_pass0"] > 0
+    want = _brute_oracle(qdf, ddf, 3)
+    for qid, grp in got.groupby("qid"):
+        for (gi, gd), (wi, wd) in zip(
+            zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
+        ):
+            assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
