@@ -443,7 +443,12 @@ def main() -> None:
             samples[name].append(round(time.monotonic() - t0, 3))
 
     def _median(xs: list[float]) -> float:
-        return sorted(xs)[len(xs) // 2]
+        # statistics.median interpolates on even n — upper-middle
+        # indexing would bias published medians toward the slow tail
+        # whenever SPARK_GRAFT_BENCH_ROUNDS is even (code-review r6)
+        import statistics
+
+        return float(statistics.median(xs))
 
     qtimes = {n: _median(samples[n]) for n in HEADLINE}
     stimes = {n: _median(samples[n]) for n in all_names if n not in HEADLINE}

@@ -702,11 +702,16 @@ def ivf_index_append(
     meta; each append measures the same statistic for its batch on the
     SAME kernel pass (an Observation — no second scan) and, when it
     falls more than `stale_tol` below the build-time baseline, emits a
-    UserWarning and records stale=True in the meta — recall under
-    assign-only growth decays exactly as vectors land farther from
-    every centroid, so E[v.c] is the direct early signal. Returns
-    {batch_assign_cos, build_assign_cos, stale, n_appended}. Backfilled
-    legacy metas without assign_cos skip the comparison (stale=None).
+    UserWarning and appends a record to the `{path}/append_log` side
+    table (append-only — the meta itself is written once at build time
+    and stays IMMUTABLE: rewriting it per append would open a
+    crash-mid-overwrite window that bricks a healthy index). Recall
+    under assign-only growth decays exactly as vectors land farther
+    from every centroid, so E[v.c] is the direct early signal. Returns
+    {batch_assign_cos, build_assign_cos, stale, n_appended}; the sticky
+    has-this-index-ever-absorbed-a-drifted-batch state is
+    ivf_index_status(spark, path). Backfilled legacy metas without
+    assign_cos skip the comparison (stale=None).
 
     A combined index (pq=True build) appends to BOTH tables from the
     same assignment kernel — the codes table never drifts from the
@@ -728,9 +733,21 @@ def ivf_index_append(
     stale = None
     if build_cos is not None and n_app > 0:
         stale = bool(batch_cos < float(build_cos) - stale_tol)
-        meta["last_append_cos"] = round(float(batch_cos), 6)
-        meta["stale"] = stale or bool(meta.get("stale", False))
-        _write_index_meta(spark, path, **meta)
+        # staleness telemetry goes to an APPEND-ONLY side table, never
+        # a meta rewrite: overwriting {path}/meta (delete-then-write)
+        # on every append would open a crash window that bricks a
+        # healthy index — the meta is written once at build time and
+        # stays immutable (code-review r6)
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "batch_assign_cos": [round(float(batch_cos), 6)],
+                    "build_assign_cos": [round(float(build_cos), 6)],
+                    "stale": [stale],
+                    "n_appended": [int(n_app)],
+                }
+            )
+        ).coalesce(1).write.mode("append").parquet(f"{path}/append_log")
         if stale:
             import warnings
 
@@ -750,6 +767,40 @@ def ivf_index_append(
         "stale": stale,
         "n_appended": int(n_app),
     }
+
+
+def ivf_index_status(spark, path: str) -> dict:
+    """Freshness status of a persisted index from its immutable meta
+    plus the append-only `append_log` telemetry: stale_ever is sticky
+    (the index HAS absorbed at least one drifted batch since build —
+    only a rebuild clears it, by leaving the old log behind with the
+    old index)."""
+    meta = _require_index_meta(spark, path)
+    out = {
+        "build_assign_cos": meta.get("assign_cos"),
+        "n_rows_at_build": meta.get("n_rows"),
+        "n_appends": 0,
+        "stale_ever": False,
+        "worst_append_cos": None,
+    }
+    try:
+        log = spark.read.parquet(f"{path}/append_log")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return out
+        raise
+    # worst (min) batch cosine, not "last": parquet files carry no
+    # arrival order, and the operational question is how far the index
+    # has EVER drifted
+    agg = log.agg(
+        F.count(F.lit(1)),
+        F.max(F.col("stale").cast("int")),
+        F.min("batch_assign_cos"),
+    ).first()
+    out["n_appends"] = int(agg[0])
+    out["stale_ever"] = bool(agg[1]) if agg[1] is not None else False
+    out["worst_append_cos"] = None if agg[2] is None else float(agg[2])
+    return out
 
 
 def _read_codebooks(spark, path: str) -> np.ndarray:

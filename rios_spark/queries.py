@@ -1179,8 +1179,13 @@ def q_embedding_topk_indexed(spark, sf_dir):
     many; VERDICT r5 #1: `ivf_search` over a partition-pruned index
     was pytest-only, the one production path without a CORRECTNESS
     row). The index is built into a deterministic local path on first
-    use per corpus (revalidated against the meta's recorded row count
-    and parameters — any mismatch rebuilds) and searched at
+    use per (corpus content, process) — the cache key fingerprints the
+    parquet files' names/sizes/mtimes so a regenerated fixture at the
+    same path can never be served from a stale index, and includes the
+    pid so concurrent runs (pytest + check_oracles + bench) never race
+    one directory; the meta is additionally revalidated against the
+    recorded row count and parameters, any mismatch or unreadable
+    (e.g. crash-mid-write) meta rebuilds — and searched at
     nprobe == n_centroids, which probes EVERY list: exact by
     construction, so the result equals the brute-force DuckDB oracle
     row-for-row regardless of how k-means carved the lists. The probe
@@ -1195,9 +1200,27 @@ def q_embedding_topk_indexed(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     n_rows = ann.fast_count(embs)
     n_cen, shards = 16, 4
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"rios_spark_ivf_{key}")
-    meta = ann._read_index_meta(spark, path)
+    src = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    sig = [src]
+    for root, _dirs, files in sorted(os.walk(src)) or [(src, [], [])]:
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    if os.path.isfile(src):
+        st = os.stat(src)
+        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"rios_spark_ivf_{key}_{os.getpid()}"
+    )
+    try:
+        meta = ann._read_index_meta(spark, path)
+    except Exception:
+        # self-heal: a crash mid-build can leave an unreadable meta
+        # (UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND) — for this
+        # cached-derivative index the right response is rebuild, not
+        # the library's strict raise (code-review r6)
+        meta = {}
     if (
         meta.get("n_rows") != n_rows
         or meta.get("n_centroids") != n_cen

@@ -237,6 +237,29 @@ def _fps_batch_numpy(
     return keep[(uk >> 31)], uk & np.int64((1 << 31) - 1)
 
 
+# The concatenated kernel holds ~45 bytes per input CHARACTER at peak
+# (utf-32 buffer + int64 codes/hashes/ladder/positions). Arrow batching
+# caps RECORDS (spark.sql.execution.arrow.maxRecordsPerBatch, default
+# 10k), not bytes, so 10k long documents could blow the Python worker —
+# sub-batch by cumulative character count so peak stays ~360 MB per
+# worker regardless of document length (code-review r6).
+_FPS_BATCH_CHAR_CAP = 8_000_000
+
+
+def _char_bounded_slices(lens, cap):
+    """Split row indices [0..n) into consecutive slices whose summed
+    lengths stay <= cap (a single over-cap row still forms its own
+    slice). Returns a list of (start, stop) pairs."""
+    out, start, acc = [], 0, 0
+    for i, ln in enumerate(lens):
+        if acc + ln > cap and i > start:
+            out.append((start, i))
+            start, acc = i, 0
+        acc += ln
+    out.append((start, len(lens)))
+    return out
+
+
 def _fps_map_in_pandas(df, text_col, id_col, k, w, sample_mod):
     """mapInPandas wrapper over _fps_batch_numpy preserving the input
     id column's type. Zero-shuffle, like the expr path."""
@@ -246,12 +269,14 @@ def _fps_map_in_pandas(df, text_col, id_col, k, w, sample_mod):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            ridx, fps = _fps_batch_numpy(pdf[text_col].tolist(), k, w, sample_mod)
-            if ridx.size == 0:
-                continue
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy()[ridx], "fp": fps}
-            )
+            texts = pdf[text_col].tolist()
+            ids = pdf[id_col].to_numpy()
+            lens = [len(t) if isinstance(t, str) else 0 for t in texts]
+            for lo, hi in _char_bounded_slices(lens, _FPS_BATCH_CHAR_CAP):
+                ridx, fps = _fps_batch_numpy(texts[lo:hi], k, w, sample_mod)
+                if ridx.size == 0:
+                    continue
+                yield pd.DataFrame({id_col: ids[lo:hi][ridx], "fp": fps})
 
     return df.select(id_col, text_col).mapInPandas(kern, f"{id_col} {id_type}, fp long")
 

@@ -1064,14 +1064,19 @@ def test_ivf_append_staleness_signal(spark, embs, tmp_path):
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
     assert 0.0 < meta["assign_cos"] <= 1.0 and meta["n_rows"] == half
 
-    # same distribution: quiet, stale False, meta untouched
+    # same distribution: quiet, stale False, meta IMMUTABLE (the
+    # telemetry goes to the append-only append_log side table — a
+    # per-append meta rewrite would open a crash-mid-overwrite window
+    # that bricks a healthy index; code-review r6)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         got = ann.ivf_index_append(spark.createDataFrame(pdf.iloc[half:]), path)
     assert got["stale"] is False and got["n_appended"] == len(pdf) - half
     assert abs(got["batch_assign_cos"] - got["build_assign_cos"]) < 0.05
     meta2 = spark.read.parquet(f"{path}/meta").first().asDict()
-    assert meta2["stale"] is False
+    assert meta2 == meta  # append never rewrites the meta
+    st = ann.ivf_index_status(spark, path)
+    assert st["n_appends"] == 1 and st["stale_ever"] is False
 
     # drifted distribution (uniform noise shares no cluster structure
     # with the build-time centroids): warn + flag
@@ -1089,18 +1094,19 @@ def test_ivf_append_staleness_signal(spark, embs, tmp_path):
     with pytest.warns(UserWarning, match="drifted"):
         got2 = ann.ivf_index_append(drift, path)
     assert got2["stale"] is True
-    meta3 = spark.read.parquet(f"{path}/meta").first().asDict()
-    assert meta3["stale"] is True
-    assert meta3["last_append_cos"] < meta3["assign_cos"] - 0.05
+    st2 = ann.ivf_index_status(spark, path)
+    assert st2["stale_ever"] is True and st2["n_appends"] == 2
+    assert st2["worst_append_cos"] < st2["build_assign_cos"] - 0.05
 
-    # a later healthy append reports itself non-stale but the meta flag
-    # is sticky (the index HAS absorbed a drifted batch)
+    # a later healthy append reports itself non-stale but the sticky
+    # has-ever-drifted state survives in the log
     healthy = spark.createDataFrame(
         pdf.iloc[:20].assign(vec_id=np.arange(20_000, 20_020))
     )
     got3 = ann.ivf_index_append(healthy, path)
     assert got3["stale"] is False
-    assert spark.read.parquet(f"{path}/meta").first().asDict()["stale"] is True
+    st3 = ann.ivf_index_status(spark, path)
+    assert st3["stale_ever"] is True and st3["n_appends"] == 3
 
 
 def test_embedding_topk_indexed_partition_pruned(spark):
@@ -1128,3 +1134,23 @@ def test_fingerprint_impls_value_identical(spark, docs):
         assert set(zip(a["doc_id"], a["fp"])) == set(zip(e["doc_id"], e["fp"]))
         # distinct per doc in both
         assert not a.duplicated().any() and not e.duplicated().any()
+
+
+def test_fps_char_bounded_subbatching(spark, docs, monkeypatch):
+    """The arrow kernel's memory envelope is bounded by CHARACTERS, not
+    Arrow's record count: with the cap forced tiny the kernel must
+    split every Arrow batch into many concatenation groups (one even
+    per single over-cap doc) and still return exactly the same value
+    set (code-review r6: a batch of 10k long docs must not OOM the
+    Python worker)."""
+    baseline = textops.doc_fingerprints_winnow(docs, impl="arrow").toPandas()
+    monkeypatch.setattr(textops, "_FPS_BATCH_CHAR_CAP", 500)
+    tiny = textops.doc_fingerprints_winnow(docs, impl="arrow").toPandas()
+    assert set(zip(tiny["doc_id"], tiny["fp"])) == set(
+        zip(baseline["doc_id"], baseline["fp"])
+    )
+    # the slicer itself: over-cap rows form singleton slices, bounds
+    # are consecutive and exhaustive
+    sl = textops._char_bounded_slices([100, 600, 100, 100, 350, 600], 500)
+    assert sl == [(0, 1), (1, 2), (2, 4), (4, 5), (5, 6)]
+    assert textops._char_bounded_slices([], 500) == [(0, 0)]
