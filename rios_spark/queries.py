@@ -858,6 +858,83 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 analogue (local supplier volume) — the 6-table
+    join-order shape with a CORRELATED dim predicate: customer and
+    supplier must sit in the SAME nation, and that nation's region is
+    filtered. The region->nation chain is tiny and broadcast
+    unconditionally; the nation-pruned customer and supplier dims are
+    broadcast into the fact joins, so the only shuffle this plan pays
+    at any scale is lineitem<->orders on l_orderkey + the final
+    per-nation agg — customer/supplier/nation/region never shuffle the
+    fact side. The correlation (c_nationkey = s_nationkey) is applied
+    as a post-join filter between two broadcast lookups, exactly where
+    Catalyst wants it: after both keys are in hand, before the agg."""
+    lo = F.lit("1995-06-01").cast("timestamp")
+    hi = F.lit("1997-06-01").cast("timestamp")
+    nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("cn"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("sn"), "n_name")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cn") == F.col("sn"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+        .select("n_name", "revenue", "n_items")
+    )
+
+
+O_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-06-01'
+  AND o_orderdate <  TIMESTAMP '1997-06-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation — identical query shape to the
     streaming operator (streaming.stream_tile_counts), run in batch."""
@@ -1686,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_stats_part": q_weighted_stats_part,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "top_orders_revenue": q_top_orders_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
@@ -1737,6 +1815,7 @@ ORACLES: dict[str, str] = {
     "weighted_stats_part": O_WEIGHTED_STATS_PART,
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
+    "tpch_q5": O_TPCH_Q5,
     "top_orders_revenue": O_TOP_ORDERS_REVENUE,
     "revenue_by_nation": O_REVENUE_BY_NATION,
     "events_hourly": O_EVENTS_HOURLY,

@@ -37,6 +37,7 @@ AUDIT = [
     ("doc_fingerprints_winnow", "same Arrow kernel with sliding-window minima (ONE ArrowEval node): ZERO shuffles; value-identical to the impl='expr' LET-bound sparse-table ladder"),
     ("fingerprint_near_dup_docs", "ONE scan: groupBy fp collects sorted doc lists (df guard = size filter), id1<id2 pairs generated inside the array, then pair agg — never all-pairs, no self-join recompute"),
     ("tpch_q3", "join-order-sensitive relational shape: segment filter pushed to the customer scan, filtered customer BROADCAST into orders, date predicates pushed to both fact scans; no SortMergeJoin at bench scale"),
+    ("tpch_q5", "6-table correlated-dim join: region->nation chain broadcast, nation-pruned customer/supplier dims broadcast into the facts, c_nationkey=s_nationkey applied post-join; the only shuffle at scale is lineitem<->orders + the final per-nation agg"),
     ("embedding_topk_indexed", "persisted-IVF serving path: probed list ids pushed into the assigned-table read as a list_id PARTITION FILTER (the scan touches only probed lists' files), cogrouped GEMM scoring, global top-k window"),
 ]
 
