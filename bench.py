@@ -180,7 +180,9 @@ def bench_ann(spark) -> dict:
         os.path.dirname(PAGES_PATH), f"bench_ivf_combined_{N_VECS}"
     )
     t0 = time.monotonic()
-    ann.ivf_build_index(vecs, idx_path, n_centroids=64, list_shards=4, pq=True, m=16)
+    ann.ivf_build_index(
+        vecs, idx_path, n_centroids=64, list_shards=4, pq=True, m=16, sq8=True
+    )
     t_build = time.monotonic() - t0
     t0 = time.monotonic()
     idx = ann.ivf_search(
@@ -204,6 +206,15 @@ def bench_ann(spark) -> dict:
         rerank_path=idx_path, rerank_factor=8,
     ).toPandas()
     t_pqr = time.monotonic() - t0
+    # sq8 rerank tier: same refine step reading int8 vectors (4x less
+    # rerank IO than float32 — the shape where the float tier is cold
+    # or absent)
+    t0 = time.monotonic()
+    pqr8 = ann.ivf_pq_search(
+        spark, idx_path, queries, 10, nprobe=24, q_id="qid",
+        rerank_path=idx_path, rerank_factor=8, rerank_source="sq8",
+    ).toPandas()
+    t_pqr8 = time.monotonic() - t0
 
     pq32_path = os.path.join(
         os.path.dirname(PAGES_PATH), f"bench_ivfpq32_idx_{N_VECS}"
@@ -222,11 +233,13 @@ def bench_ann(spark) -> dict:
     psets = {q: set(g["neighbor_id"]) for q, g in pq.groupby("qid")}
     p32sets = {q: set(g["neighbor_id"]) for q, g in pq32.groupby("qid")}
     rsets = {q: set(g["neighbor_id"]) for q, g in pqr.groupby("qid")}
+    r8sets = {q: set(g["neighbor_id"]) for q, g in pqr8.groupby("qid")}
     recall = sum(len(bsets[q] & isets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_idx = sum(len(bsets[q] & xsets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_pq = sum(len(bsets[q] & psets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_pq32 = sum(len(bsets[q] & p32sets.get(q, set())) for q in bsets) / (10 * len(bsets))
     recall_pqr = sum(len(bsets[q] & rsets.get(q, set())) for q in bsets) / (10 * len(bsets))
+    recall_pqr8 = sum(len(bsets[q] & r8sets.get(q, set())) for q in bsets) / (10 * len(bsets))
 
     # crossover evidence (r3 VERDICT #6): at 200k vectors the AD-HOC
     # IVF beats the persisted index (reading the assigned table costs
@@ -289,6 +302,8 @@ def bench_ann(spark) -> dict:
         "pq32_recall_at_10": round(recall_pq32, 4),
         "pq_rerank_qps": round(n_q / t_pqr, 1),
         "pq_rerank_recall_at_10": round(recall_pqr, 4),
+        "sq8_rerank_qps": round(n_q / t_pqr8, 1),
+        "sq8_rerank_recall_at_10": round(recall_pqr8, 4),
         "crossover": crossover,
     }
 
@@ -653,10 +668,17 @@ executors; no stage in either plan exchanges data.
 | IVF-PQ compressed (m=16 uint8 ADC codes, 16x smaller; floats never read; encoding={result['ann']['pq_encoding']}) | {result['ann']['pq_qps']:,} | {result['ann']['pq_recall_at_10']} |
 | IVF-PQ compressed (m=32 = 32 B codes, 8x smaller — the ADC-only recall configuration) | {result['ann']['pq32_qps']:,} | {result['ann']['pq32_recall_at_10']} |
 | IVF-PQ + exact IN-PLACE rerank (ADC top-80 refined against the same index's floats) | {result['ann']['pq_rerank_qps']:,} | {result['ann']['pq_rerank_recall_at_10']} |
+| IVF-PQ + SQ8 rerank (same refine reading the int8 tier — 4x less rerank IO) | {result['ann']['sq8_rerank_qps']:,} | {result['ann']['sq8_rerank_recall_at_10']} |
 
 PQ/rerank recall is bounded above by the shared nprobe=24/64 probe set
 (the ad-hoc IVF row's recall); the rerank recovers quantization loss to
 near that ceiling while reading float vectors for candidates only.
+The SQ8 row reranks from the int8 scalar-quantized tier instead:
+recall matches the float rerank within noise, and on THIS bench the
+qps is slightly lower (the float tier is warm in local page cache, so
+the decode kernel costs more than the IO it saves) — the tier's win is
+storage-bound serving, where the rerank tier is 25% the size of
+float32 and the candidate read is 4x fewer cold bytes.
 PQ codes use the encoding (raw vs coarse-centroid residual) that
 measured LOWER reconstruction MSE on the training sample at build time:
 residual only wins when the coarse centroids explain >half the cosine

@@ -482,6 +482,40 @@ def _load_centroids_verified(spark, path: str, meta: dict) -> np.ndarray:
     return centroids
 
 
+def _train_sq8_params(smat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension scalar-quantization params over the (normalized)
+    training sample: dmin and scale such that uint8 code c decodes to
+    dmin + c * scale. Zero-range dimensions get scale 1 so the decode
+    is the constant dmin and the encode divides safely; out-of-sample
+    values clip at encode time (standard SQ behavior)."""
+    dmin = smat.min(axis=0)
+    rng = smat.max(axis=0) - dmin
+    scale = np.where(rng > 0, rng / 255.0, 1.0)
+    return dmin.astype(np.float64), scale.astype(np.float64)
+
+
+def _read_sq8_params(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load the sq8_params side table back as (dmin, scale) arrays."""
+    pdf = spark.read.parquet(f"{path}/sq8_params").toPandas().sort_values("dim")
+    return (
+        pdf["dmin"].to_numpy(np.float64),
+        pdf["scale"].to_numpy(np.float64),
+    )
+
+
+def _sq8_encode(mat: np.ndarray, dmin: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """(n, d) float matrix -> (n, d) uint8 codes under the stored
+    per-dim affine params."""
+    return np.clip(
+        np.rint((mat - dmin) / scale), 0, 255
+    ).astype(np.uint8)
+
+
+def _sq8_decode(codes: np.ndarray, dmin: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """(n, d) uint8 codes -> (n, d) float64 decoded vectors."""
+    return dmin + codes.astype(np.float64) * scale
+
+
 def _encode_and_write(
     data: DataFrame,
     path: str,
@@ -493,6 +527,7 @@ def _encode_and_write(
     residual: bool,
     store_full: bool,
     mode: str,
+    sq8_params: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[float, int]:
     """ONE assignment/encode kernel feeding the assigned and/or codes
     writes — shared by build (mode='overwrite') and append
@@ -507,16 +542,18 @@ def _encode_and_write(
     signal centroid staleness (VERDICT r5 #3: assign-only appends over
     a drifting corpus decay recall with no error otherwise)."""
     spark = data.sparkSession
-    bc = spark.sparkContext.broadcast((centroids, codebooks))
+    bc = spark.sparkContext.broadcast((centroids, codebooks, sq8_params))
 
     out_fields = ["list_id int", f"{d_id} long", "acos double"]
     if store_full:
         out_fields.append(f"{d_emb} array<float>")
     if codebooks is not None:
         out_fields.append("code binary")
+    if sq8_params is not None:
+        out_fields.append("sq8 binary")
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cen, cbs = bc.value
+        cen, cbs, sqp = bc.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -534,6 +571,8 @@ def _encode_and_write(
             if cbs is not None:
                 enc_in = mat - cen[lists] if residual else mat
                 cols["code"] = _codes_to_bytes(_pq_encode(enc_in, cbs))
+            if sqp is not None:
+                cols["sq8"] = _codes_to_bytes(_sq8_encode(mat, *sqp))
             yield pd.DataFrame(cols)
 
     obs = Observation()
@@ -548,10 +587,12 @@ def _encode_and_write(
     # tasks*lists files whose open/footer overhead dominates search
     # scans. One shuffle buys one file per list dir per write.
     frame = frame.repartition("list_id")
-    dual = store_full and codebooks is not None
-    if dual:
-        # one kernel pass feeding both writes: the shuffled frame is
-        # persisted so the codes write replays cached partitions
+    n_writes = int(store_full) + int(codebooks is not None) + int(
+        sq8_params is not None
+    )
+    if n_writes > 1:
+        # one kernel pass feeding every write: the shuffled frame is
+        # persisted so later writes replay cached partitions
         frame = frame.persist()
     if store_full:
         frame.select("list_id", d_id, d_emb).write.mode(mode).partitionBy(
@@ -561,7 +602,11 @@ def _encode_and_write(
         frame.select("list_id", d_id, "code").write.mode(mode).partitionBy(
             "list_id"
         ).parquet(f"{path}/codes")
-    if dual:
+    if sq8_params is not None:
+        frame.select("list_id", d_id, "sq8").write.mode(mode).partitionBy(
+            "list_id"
+        ).parquet(f"{path}/sq8")
+    if n_writes > 1:
         frame.unpersist(blocking=False)
     got = obs.get
     n = int(got["n"])
@@ -582,6 +627,7 @@ def ivf_build_index(
     ksub: int = 256,
     store_full: bool = True,
     pq_encoding: str = "auto",
+    sq8: bool = False,
 ) -> None:
     """Build a PERSISTED IVF index: train centroids on a sample
     (driver-side deterministic k-means), assign every vector to its
@@ -603,6 +649,15 @@ def ivf_build_index(
     n_centroids/list_shards/sample/seed differ). One meta table
     describes both. store_full=False skips the float table (the
     compressed-only 100-TB shape; ivf_pq_build_index is that spelling).
+
+    sq8=True additionally writes an `sq8/` RERANK TIER: per-dimension
+    scalar-quantized uint8 vectors (4x smaller than float32) from the
+    same kernel pass, with the affine decode params trained on the
+    build sample and persisted in `sq8_params/`. At 100 TB of float32
+    embeddings the rerank read drops to a 25 TB tier; pass
+    rerank_source='sq8' to ivf_pq_search to rerank from it (measured
+    recall within noise of the float rerank on the bench corpus —
+    BENCH/BASELINE.md).
 
     WHEN to build (measured crossover, BENCH/BASELINE.md): below a few
     hundred k vectors the AD-HOC path is faster per call — reading the
@@ -640,6 +695,7 @@ def ivf_build_index(
         enc, codebooks = _train_pq_codebooks(
             smat, centroids, m, ksub, seed, encoding=pq_encoding
         )
+    sq8_params = _train_sq8_params(smat) if sq8 else None
     cen_pdf = pd.DataFrame(
         {
             "centroid_id": np.arange(len(centroids), dtype=np.int32),
@@ -658,16 +714,29 @@ def ivf_build_index(
         spark.createDataFrame(
             cb_rows, "m_idx int, entry int, vec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    if sq8:
+        dmin, scale = sq8_params
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "dim": np.arange(len(dmin), dtype=np.int32),
+                    "dmin": dmin,
+                    "scale": scale,
+                }
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/sq8_params")
     shards = max(1, int(list_shards))
     assign_cos, n_rows = _encode_and_write(
         data, path, centroids, codebooks, shards, d_id, d_emb,
         residual=(enc == "residual"), store_full=store_full, mode="overwrite",
+        sq8_params=sq8_params,
     )
     meta = dict(
         n_centroids=int(len(centroids)), list_shards=int(shards),
         d_id=d_id, d_emb=d_emb,
         sample_rows=int(sample_rows), seed=int(seed),
         has_full=bool(store_full),
+        has_sq8=bool(sq8),
         centroid_sig=_centroid_sig(centroids),
         # freshness baseline: mean assignment cosine E[v.c] over the
         # FULL corpus at build time (observed on the write pass, not
@@ -725,9 +794,15 @@ def ivf_index_append(
     has_full = bool(meta.get("has_full", not has_pq))
     residual = str(meta.get("pq_encoding", "raw")) == "residual"
     codebooks = _read_codebooks(spark, path) if has_pq else None
+    # sq8 appends quantize under the BUILD-TIME params (never retrain
+    # mid-life: two param sets in one tier would mis-decode)
+    sq8_params = (
+        _read_sq8_params(spark, path) if meta.get("has_sq8") else None
+    )
     batch_cos, n_app = _encode_and_write(
         data, path, centroids, codebooks, shards, d_id, d_emb,
         residual=residual, store_full=has_full, mode="append",
+        sq8_params=sq8_params,
     )
     build_cos = meta.get("assign_cos")
     stale = None
@@ -1111,6 +1186,7 @@ def ivf_pq_search(
     d_id: str = "vec_id",
     rerank_path: str | None = None,
     rerank_factor: int = 4,
+    rerank_source: str = "full",
 ) -> DataFrame:
     """Search an IVF-PQ index by ADC: per query build a (m, ksub)
     lookup table of sub-inner-products against the codebooks, then each
@@ -1131,7 +1207,12 @@ def ivf_pq_search(
     the floats live beside the codes and drift is impossible; a
     SEPARATE full index is accepted only when its meta matches this
     index's build parameters (mismatch raises instead of silently
-    mis-addressing (list_id, id))."""
+    mis-addressing (list_id, id)).
+
+    rerank_source='sq8' reranks from the int8 scalar-quantized tier
+    (ivf_build_index(sq8=True)) instead of the float32 table: 4x less
+    rerank IO — the 100-TB shape where the full-precision tier is cold
+    or absent. Decode + cosine run in one vectorized Arrow kernel."""
     meta = _require_index_meta(spark, path)
     coarse = _load_centroids_verified(spark, path, meta)
     codebooks = _read_codebooks(spark, path)
@@ -1246,9 +1327,17 @@ def ivf_pq_search(
     # the rerank index's own meta names its id/embedding columns — a
     # hardcoded "embedding" broke rerank for any non-default column
     # name (ADVICE r3); params remain the fallback for legacy indexes
+    if rerank_source not in ("full", "sq8"):
+        raise ValueError(f"rerank_source must be 'full' or 'sq8', got {rerank_source!r}")
     if rerank_path == path:
         rmeta = meta
-        if not meta.get("has_full"):
+        if rerank_source == "sq8" and not meta.get("has_sq8"):
+            raise ValueError(
+                f"index at {path!r} has no 'sq8' rerank tier: build with "
+                "ivf_build_index(sq8=True) to rerank from int8 in place, or "
+                "pass a separate matching index"
+            )
+        if rerank_source == "full" and not meta.get("has_full"):
             raise ValueError(
                 f"index at {path!r} stores PQ codes only (no assigned/ float "
                 "table): build with ivf_build_index(pq=True) to rerank in place, "
@@ -1278,22 +1367,57 @@ def ivf_pq_search(
                 "ivf_build_index(pq=True) (one pass, one meta) or align the "
                 "parameters."
             )
+        if rerank_source == "sq8" and not rmeta.get("has_sq8"):
+            raise ValueError(
+                f"rerank index at {rerank_path!r} has no sq8 tier: build it "
+                "with ivf_build_index(sq8=True)"
+            )
     r_id = str(rmeta.get("d_id", d_id))
     r_emb = str(rmeta.get("d_emb", "embedding"))
-    full = (
-        spark.read.parquet(f"{rerank_path}/assigned")
-        .filter(F.col("list_id").isin(probe_ids))
-        .select(
-            "list_id",
-            F.col(r_id).alias("neighbor_id"),
-            F.col(r_emb).alias("__dvec"),
-        )
-    )
     qvecs = queries.select(q_id, F.col(q_emb).alias("__qvec"))
+    if rerank_source == "sq8":
+        dmin, scale = _read_sq8_params(spark, rerank_path)
+
+        @F.pandas_udf("double")
+        def sq8_cos(qv: pd.Series, code: pd.Series) -> pd.Series:
+            if len(qv) == 0:
+                return pd.Series([], dtype=float)
+            q = np.stack(qv.map(np.asarray).to_list()).astype(np.float64)
+            v = _sq8_decode(
+                np.frombuffer(b"".join(code.tolist()), np.uint8).reshape(
+                    len(code), -1
+                ),
+                dmin,
+                scale,
+            )
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            return pd.Series((q * v).sum(axis=1))
+
+        tier = (
+            spark.read.parquet(f"{rerank_path}/sq8")
+            .filter(F.col("list_id").isin(probe_ids))
+            .select(
+                "list_id", F.col(r_id).alias("neighbor_id"),
+                F.col("sq8").alias("__dvec"),
+            )
+        )
+        score_col = sq8_cos(F.col("__qvec"), F.col("__dvec"))
+    else:
+        tier = (
+            spark.read.parquet(f"{rerank_path}/assigned")
+            .filter(F.col("list_id").isin(probe_ids))
+            .select(
+                "list_id",
+                F.col(r_id).alias("neighbor_id"),
+                F.col(r_emb).alias("__dvec"),
+            )
+        )
+        score_col = cosine_sim_col("__qvec", "__dvec")
     exact = (
-        cand.join(full, ["list_id", "neighbor_id"])
+        cand.join(tier, ["list_id", "neighbor_id"])
         .join(F.broadcast(qvecs), q_id)
-        .withColumn("score", cosine_sim_col("__qvec", "__dvec"))
+        .withColumn("score", score_col)
         .drop("__qvec", "__dvec", "list_id")
     )
     w2 = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col("neighbor_id"))

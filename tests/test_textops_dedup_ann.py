@@ -1154,3 +1154,106 @@ def test_fps_char_bounded_subbatching(spark, docs, monkeypatch):
     sl = textops._char_bounded_slices([100, 600, 100, 100, 350, 600], 500)
     assert sl == [(0, 1), (1, 2), (2, 4), (4, 5), (5, 6)]
     assert textops._char_bounded_slices([], 500) == [(0, 0)]
+
+
+def _clustered_vecs(n=3000, d=64, k=8, noise=0.3, seed=3):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    raw = centers[rng.integers(0, k, n)] + noise * rng.normal(size=(n, d))
+    raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in raw]}
+    )
+
+
+def test_sq8_rerank_tier(spark, tmp_path):
+    """ivf_build_index(sq8=True) writes an int8 scalar-quantized rerank
+    tier (4x less rerank IO than float32 — the 100-TB shape);
+    rerank_source='sq8' must recover recall within noise of the float
+    rerank, appends must grow the tier under the BUILD-TIME params, and
+    asking for the tier on an index without one must raise."""
+    import numpy as np
+
+    pdf = _clustered_vecs()
+    path = str(tmp_path / "sq8idx")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), path,
+        n_centroids=8, list_shards=2, pq=True, m=8, seed=1, sq8=True,
+    )
+    assert spark.read.parquet(f"{path}/meta").first().asDict()["has_sq8"] is True
+    qs = spark.createDataFrame(pdf.iloc[:40].rename(columns={"vec_id": "qid"}))
+    r_full = ann.ivf_pq_search(
+        spark, path, qs, 10, nprobe=8, rerank_path=path
+    ).toPandas()
+    r_sq8 = ann.ivf_pq_search(
+        spark, path, qs, 10, nprobe=8, rerank_path=path, rerank_source="sq8"
+    ).toPandas()
+    truth = ann.cosine_topk_bruteforce(qs, pdf, 10, q_id="qid").toPandas()
+    t = truth.groupby("qid")["neighbor_id"].apply(set)
+
+    def recall(r):
+        g = r.groupby("qid")["neighbor_id"].apply(set)
+        return float(np.mean([len(t[q] & g[q]) / 10 for q in t.index]))
+
+    rf, rs = recall(r_full), recall(r_sq8)
+    assert rs >= rf - 0.02, (rs, rf)
+
+    # decode error bounded by half a quantization step per dim
+    dmin, scale = ann._read_sq8_params(spark, path)
+    mat = np.stack(pdf["embedding"].map(np.asarray).to_list()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    dec = ann._sq8_decode(ann._sq8_encode(mat, dmin, scale), dmin, scale)
+    assert np.all(np.abs(dec - mat) <= scale / 2 + 1e-12)
+
+    # append grows the tier in lockstep with assigned/codes
+    ann.ivf_index_append(
+        spark.createDataFrame(
+            pdf.iloc[:100].assign(vec_id=np.arange(90000, 90100))
+        ),
+        path,
+    )
+    assert spark.read.parquet(f"{path}/sq8").count() == len(pdf) + 100
+    assert spark.read.parquet(f"{path}/assigned").count() == len(pdf) + 100
+
+    # an index without the tier refuses rerank_source='sq8'
+    p2 = str(tmp_path / "nosq8")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), p2,
+        n_centroids=8, list_shards=2, pq=True, m=8, seed=1,
+    )
+    with pytest.raises(ValueError, match="no 'sq8' rerank tier"):
+        ann.ivf_pq_search(
+            spark, p2, qs, 10, nprobe=8, rerank_path=p2, rerank_source="sq8"
+        )
+    with pytest.raises(ValueError, match="rerank_source"):
+        ann.ivf_pq_search(
+            spark, path, qs, 10, nprobe=8, rerank_path=path, rerank_source="xx"
+        )
+
+
+def test_sq8_float_free_index(spark, tmp_path):
+    """The fully compressed serving shape: PQ codes for ADC + sq8 for
+    rerank, NO float32 table at all (25% of the float footprint). The
+    in-place rerank must work without has_full."""
+    pdf = _clustered_vecs(n=1500)
+    path = str(tmp_path / "nofloat")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), path,
+        n_centroids=8, list_shards=2, pq=True, m=8, seed=1,
+        store_full=False, sq8=True,
+    )
+    import os
+
+    assert not os.path.exists(f"{path}/assigned")
+    qs = spark.createDataFrame(pdf.iloc[:20].rename(columns={"vec_id": "qid"}))
+    out = ann.ivf_pq_search(
+        spark, path, qs, 5, nprobe=8, rerank_path=path, rerank_source="sq8"
+    ).toPandas()
+    assert len(out) == 100 and set(out["rank"]) == {1, 2, 3, 4, 5}
+    # the float rerank on this index must refuse (there are no floats)
+    with pytest.raises(ValueError, match="codes only"):
+        ann.ivf_pq_search(spark, path, qs, 5, nprobe=8, rerank_path=path)
