@@ -674,11 +674,12 @@ PQ/rerank recall is bounded above by the shared nprobe=24/64 probe set
 (the ad-hoc IVF row's recall); the rerank recovers quantization loss to
 near that ceiling while reading float vectors for candidates only.
 The SQ8 row reranks from the int8 scalar-quantized tier instead:
-recall matches the float rerank within noise, and on THIS bench the
-qps is slightly lower (the float tier is warm in local page cache, so
-the decode kernel costs more than the IO it saves) — the tier's win is
-storage-bound serving, where the rerank tier is 25% the size of
-float32 and the candidate read is 4x fewer cold bytes.
+recall matches the float rerank within noise. Its qps advantage is
+IO-bound and scale-dependent (measured: slightly SLOWER than the
+float rerank at 20k vectors where everything sits in page cache and
+the decode kernel dominates; FASTER at 200k where the 4x-smaller
+candidate read wins) — the design target is storage-bound serving,
+where the rerank tier is 25% the size of float32.
 PQ codes use the encoding (raw vs coarse-centroid residual) that
 measured LOWER reconstruction MSE on the training sample at build time:
 residual only wins when the coarse centroids explain >half the cosine
