@@ -714,6 +714,17 @@ def ivf_build_index(
         spark.createDataFrame(
             cb_rows, "m_idx int, entry int, vec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # reset the append telemetry BEFORE the first data write: an
+    # in-place rebuild starts a fresh generation, and a leftover log
+    # would keep ivf_index_status reporting the dead generation's
+    # stale_ever forever (code-review r6). Cleared first so a crashed
+    # rebuild can't pair a fresh log with the old index either — the
+    # meta (written last) gates usability.
+    spark.createDataFrame(
+        [],
+        "batch_assign_cos double, build_assign_cos double, "
+        "stale boolean, n_appended bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/append_log")
     if sq8:
         dmin, scale = sq8_params
         spark.createDataFrame(
@@ -808,20 +819,25 @@ def ivf_index_append(
     stale = None
     if build_cos is not None and n_app > 0:
         stale = bool(batch_cos < float(build_cos) - stale_tol)
+    if n_app > 0:
         # staleness telemetry goes to an APPEND-ONLY side table, never
         # a meta rewrite: overwriting {path}/meta (delete-then-write)
         # on every append would open a crash window that bricks a
         # healthy index — the meta is written once at build time and
-        # stays immutable (code-review r6)
+        # stays immutable. Logged for EVERY append (legacy metas
+        # without assign_cos get null baseline/stale) so n_appends
+        # counts honestly (code-review r6).
         spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "batch_assign_cos": [round(float(batch_cos), 6)],
-                    "build_assign_cos": [round(float(build_cos), 6)],
-                    "stale": [stale],
-                    "n_appended": [int(n_app)],
-                }
-            )
+            [
+                (
+                    round(float(batch_cos), 6),
+                    None if build_cos is None else round(float(build_cos), 6),
+                    stale,
+                    int(n_app),
+                )
+            ],
+            "batch_assign_cos double, build_assign_cos double, "
+            "stale boolean, n_appended bigint",
         ).coalesce(1).write.mode("append").parquet(f"{path}/append_log")
         if stale:
             import warnings
@@ -1213,6 +1229,19 @@ def ivf_pq_search(
     (ivf_build_index(sq8=True)) instead of the float32 table: 4x less
     rerank IO — the 100-TB shape where the full-precision tier is cold
     or absent. Decode + cosine run in one vectorized Arrow kernel."""
+    # validate the rerank knobs UP FRONT: with rerank_path=None the
+    # rerank block is never reached, and a silently-ignored
+    # rerank_source='sq8' would hand back unrefined ADC scores the
+    # caller believes were reranked (code-review r6)
+    if rerank_source not in ("full", "sq8"):
+        raise ValueError(
+            f"rerank_source must be 'full' or 'sq8', got {rerank_source!r}"
+        )
+    if rerank_path is None and rerank_source != "full":
+        raise ValueError(
+            f"rerank_source={rerank_source!r} requires rerank_path — without "
+            "one the search is ADC-only and no rerank tier is read"
+        )
     meta = _require_index_meta(spark, path)
     coarse = _load_centroids_verified(spark, path, meta)
     codebooks = _read_codebooks(spark, path)
@@ -1327,8 +1356,6 @@ def ivf_pq_search(
     # the rerank index's own meta names its id/embedding columns — a
     # hardcoded "embedding" broke rerank for any non-default column
     # name (ADVICE r3); params remain the fallback for legacy indexes
-    if rerank_source not in ("full", "sq8"):
-        raise ValueError(f"rerank_source must be 'full' or 'sq8', got {rerank_source!r}")
     if rerank_path == path:
         rmeta = meta
         if rerank_source == "sq8" and not meta.get("has_sq8"):

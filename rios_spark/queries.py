@@ -1279,17 +1279,24 @@ def q_embedding_topk_indexed(spark, sf_dir):
     n_cen, shards = 16, 4
     src = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
     sig = [src]
-    for root, _dirs, files in sorted(os.walk(src)) or [(src, [], [])]:
-        for f in sorted(files):
-            st = os.stat(os.path.join(root, f))
-            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     if os.path.isfile(src):
         st = os.stat(src)
         sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for root, _dirs, files in sorted(os.walk(src)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"rios_spark_ivf_{key}_{os.getpid()}"
-    )
+    # STABLE content-keyed path, shared across processes (build once /
+    # search many). Race safety comes from build-aside + atomic rename,
+    # not per-pid dirs (which leaked one index per process and defeated
+    # all cross-process reuse — code-review r6): a process that finds
+    # the index missing/invalid builds into its own scratch dir and
+    # renames it in; rename onto an existing dir fails, meaning another
+    # process won the race with an EQUIVALENT index (same content key,
+    # same params, fixed seed), so the loser just discards its copy.
+    path = os.path.join(tempfile.gettempdir(), f"rios_spark_ivf_{key}")
     try:
         meta = ann._read_index_meta(spark, path)
     except Exception:
@@ -1303,9 +1310,21 @@ def q_embedding_topk_indexed(spark, sf_dir):
         or meta.get("n_centroids") != n_cen
         or meta.get("list_shards") != shards
     ):
+        import shutil
+
+        build_dir = f"{path}_build_{os.getpid()}"
         ann.ivf_build_index(
-            embs, path, n_centroids=n_cen, list_shards=shards, seed=42
+            embs, build_dir, n_centroids=n_cen, list_shards=shards, seed=42
         )
+        # a partial dir at `path` (crashed build of the SAME content —
+        # different content means a different key) must go before the
+        # swap; concurrent healthy readers of this key cannot exist if
+        # its meta was invalid
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(build_dir, path)
+        except OSError:
+            shutil.rmtree(build_dir, ignore_errors=True)
     n_q = 20
     queries = (
         embs.filter(F.col("vec_id") < n_q)

@@ -1257,3 +1257,71 @@ def test_sq8_float_free_index(spark, tmp_path):
     # the float rerank on this index must refuse (there are no floats)
     with pytest.raises(ValueError, match="codes only"):
         ann.ivf_pq_search(spark, path, qs, 5, nprobe=8, rerank_path=path)
+
+
+def test_append_log_lifecycle(spark, tmp_path):
+    """code-review r6: (a) rerank_source without rerank_path must raise
+    rather than silently return unrefined ADC scores; (b) appends over
+    a legacy (backfilled, no assign_cos) meta still count in
+    ivf_index_status; (c) an in-place REBUILD starts a fresh telemetry
+    generation — stale_ever from the dead generation must not survive."""
+    import numpy as np
+
+    pdf = _clustered_vecs(n=800)
+    path = str(tmp_path / "lc")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), path,
+        n_centroids=8, list_shards=2, pq=True, m=8, seed=1,
+    )
+    qs = spark.createDataFrame(pdf.iloc[:5].rename(columns={"vec_id": "qid"}))
+    with pytest.raises(ValueError, match="requires rerank_path"):
+        ann.ivf_pq_search(spark, path, qs, 5, nprobe=8, rerank_source="sq8")
+
+    # drifted append -> stale_ever True
+    rng = np.random.default_rng(11)
+    noise = rng.normal(size=(40, 64))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    import pandas as pd
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ann.ivf_index_append(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.arange(50000, 50040),
+                        "embedding": [v.tolist() for v in noise],
+                    }
+                )
+            ),
+            path,
+        )
+    assert ann.ivf_index_status(spark, path)["stale_ever"] is True
+
+    # in-place rebuild -> fresh generation, telemetry reset
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), path,
+        n_centroids=8, list_shards=2, pq=True, m=8, seed=1,
+    )
+    st = ann.ivf_index_status(spark, path)
+    assert st["stale_ever"] is False and st["n_appends"] == 0
+
+    # legacy meta (no assign_cos): appends still counted, stale None
+    legacy = str(tmp_path / "legacy")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), legacy, n_centroids=8, list_shards=2, seed=1
+    )
+    import shutil
+
+    shutil.rmtree(f"{legacy}/meta")
+    ann.ivf_write_meta(spark, legacy, list_shards=2)
+    got = ann.ivf_index_append(
+        spark.createDataFrame(
+            pdf.iloc[:30].assign(vec_id=np.arange(60000, 60030))
+        ),
+        legacy,
+    )
+    assert got["stale"] is None
+    st2 = ann.ivf_index_status(spark, legacy)
+    assert st2["n_appends"] == 1 and st2["stale_ever"] is False
