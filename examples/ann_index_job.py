@@ -42,6 +42,17 @@ def main() -> None:
         "in-place exact-rerank path",
     )
     ap.add_argument("--pq-m", type=int, default=16)
+    ap.add_argument(
+        "--sq8", action="store_true",
+        help="also write the int8 scalar-quantized rerank tier (25%% of "
+        "the float32 footprint) and search with rerank_source='sq8'",
+    )
+    ap.add_argument(
+        "--append", type=int, default=0, metavar="N",
+        help="after the searches, append N new vectors (assign-only "
+        "growth) and print ivf_index_status — the corpus-grows flow "
+        "with staleness telemetry",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -62,7 +73,7 @@ def main() -> None:
         ann.ivf_build_index(
             vecs, args.index,
             n_centroids=args.n_centroids, list_shards=args.list_shards,
-            pq=args.pq, m=args.pq_m,
+            pq=args.pq, m=args.pq_m, sq8=args.sq8,
         )
         print(json.dumps({"built_sec": round(time.monotonic() - t0, 2)}))
 
@@ -92,6 +103,28 @@ def main() -> None:
             "pq_rerank_sec": round(wall, 2),
             "pq_rerank_qps": round(args.n_queries / wall, 1),
         }))
+    if args.pq and args.sq8:
+        t0 = time.monotonic()
+        sq8_out = ann.ivf_pq_search(
+            spark, args.index, queries, args.k, nprobe=args.nprobe,
+            rerank_path=args.index, rerank_factor=8, rerank_source="sq8",
+        )
+        n_sq8 = sq8_out.count()
+        wall = time.monotonic() - t0
+        print(json.dumps({
+            "sq8_rerank_rows": n_sq8,
+            "sq8_rerank_sec": round(wall, 2),
+            "sq8_rerank_qps": round(args.n_queries / wall, 1),
+        }))
+    if args.append:
+        from rios_spark.datagen import gen_embeddings_spark
+
+        batch = gen_embeddings_spark(spark, args.append).withColumn(
+            "vec_id", F.col("vec_id") + 10_000_000
+        )
+        got = ann.ivf_index_append(batch, args.index)
+        print(json.dumps({"append": got}))
+        print(json.dumps({"status": ann.ivf_index_status(spark, args.index)}))
     spark.stop()
 
 
