@@ -984,6 +984,18 @@ def knn_tiled(
             )
             .persist()
         )
+        if i == max_escalations - 1:
+            # LAST round (r6 fusion): everything still unproven goes to
+            # the scan regardless, so this round's control-stats job is
+            # pure fixed cost — skip it. The residue is bounded by
+            # n_esc (only escalated keys can remain unproven), which
+            # keeps the scan's driver collect bounded; the collect
+            # itself discovers the exact (possibly zero) count in the
+            # same job that fetches the rows.
+            if counters is not None:
+                counters[f"unproven_escalation_{i}"] = n_esc  # upper bound
+            n_bad = None
+            break
         n_bad, n_esc = _residue_stats(bad_keys)
         if counters is not None:
             counters[f"unproven_escalation_{i}"] = n_bad
@@ -992,9 +1004,11 @@ def knn_tiled(
             break
     if bad_keys is not None:
         residual_parts.append(bad_keys.select(*part_cols))
-        n_residual += n_bad
+        n_residual += n_bad if n_bad is not None else n_esc
     # a key either escalates or is staged for the scan exactly once, so
-    # the arithmetic total IS the residual count — no extra job
+    # the arithmetic total IS the residual count (an upper bound after
+    # a fused final round — the scan's empty-collect fast-out makes an
+    # over-count cost one tiny job, never a wrong result)
     if counters is not None:
         counters["residual_scan"] = n_residual
     if n_residual == 0:
