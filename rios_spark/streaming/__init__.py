@@ -394,3 +394,79 @@ def stream_fingerprint_matches(
     if exclude_self:
         joined = joined.filter(F.col("stream_id") != F.col("corpus_id"))
     return joined.select("stream_id", "corpus_id", "fp")
+
+
+def stream_embedding_topk(
+    query_stream: DataFrame,
+    corpus: pd.DataFrame,
+    k: int,
+    q_id: str = "qid",
+    q_emb: str = "embedding",
+    d_id: str = "vec_id",
+    d_emb: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for every ARRIVING query embedding against a
+    static corpus — similarity serving at ingest time (route each new
+    document/query to its nearest corpus neighbors as it lands).
+
+    ann.cosine_topk_bruteforce's Arrow kernel is a pure STATELESS
+    projection — the top-k is computed inside the kernel (GEMM +
+    argpartition per Arrow batch), no window, no shuffle — so it runs
+    on a streaming DataFrame unchanged: append output mode, zero
+    streaming state, scales in the query dimension like any map.
+
+    `corpus` is a driver pandas frame broadcast once — the SAME bounded
+    -broadcast contract as the batch brute path (fine up to a few
+    million vectors). For an unbounded corpus use stream_indexed_topk:
+    the persisted-IVF foreachBatch face, which reads only the probed
+    lists' files per micro-batch."""
+    from rios_spark.ann import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(
+        query_stream, corpus, k, q_id=q_id, q_emb=q_emb, d_id=d_id, d_emb=d_emb
+    )
+
+
+def stream_indexed_topk(
+    query_stream: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    k: int,
+    nprobe: int = 4,
+    q_id: str = "qid",
+    q_emb: str = "embedding",
+):
+    """Streaming face of the persisted-IVF serving path: each
+    micro-batch of arriving query embeddings is searched against the
+    partition-pruned index (ann.ivf_search — the 100-TB corpus shape)
+    and appended to a parquet sink.
+
+    ivf_search needs multi-stage orchestration (probe assignment,
+    per-list cogrouped scoring, a global rank window) that pure append
+    -mode streaming cannot express inline, so this runs it per batch
+    under foreachBatch: each batch is a bounded BATCH job against the
+    static index, and the checkpoint gives the sink exactly-once
+    batches on restart. Queries live in exactly ONE micro-batch, so
+    per-query top-k never needs cross-batch state.
+
+    Returns the configured DataStreamWriter — call .start() (add
+    .trigger(...) first to override the availableNow default)."""
+    from rios_spark.ann import ivf_search
+
+    def _batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        out = ivf_search(
+            bdf.sparkSession, index_path, bdf, k, nprobe=nprobe,
+            q_id=q_id, q_emb=q_emb,
+        )
+        out.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            sink_path
+        )
+
+    return (
+        query_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

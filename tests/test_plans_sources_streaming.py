@@ -1109,3 +1109,98 @@ def test_stream_batch_oracle_threeway_pair_join(spark, tmp_path):
     assert len(got) == len(norm(got)), "stream emitted a duplicate pair"
     assert norm(got) == norm(batch) == norm(oracle)
     assert len(norm(oracle)) > 20
+
+
+def test_stream_embedding_topk_matches_batch(spark, tmp_path):
+    """Stream-static similarity serving: the stateless brute kernel on
+    a stream of query embeddings must equal the batch path row-for-row
+    (same kernel, same broadcast corpus — identical floats)."""
+    import numpy as np
+    import pandas as pd
+
+    from rios_spark import ann
+    from rios_spark.streaming import stream_embedding_topk
+
+    rng = np.random.default_rng(5)
+    corpus = pd.DataFrame(
+        {
+            "vec_id": np.arange(300),
+            "embedding": [v.tolist() for v in rng.normal(size=(300, 16))],
+        }
+    )
+    qpdf = pd.DataFrame(
+        {
+            "qid": np.arange(25),
+            "embedding": [v.tolist() for v in rng.normal(size=(25, 16))],
+        }
+    )
+    src = str(tmp_path / "qstream")
+    spark.createDataFrame(qpdf).write.parquet(src)
+    stream = spark.readStream.schema(
+        "qid long, embedding array<double>"
+    ).parquet(src)
+    q = (
+        stream_embedding_topk(stream, corpus, 5)
+        .writeStream.format("memory")
+        .queryName("stream_topk_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_topk_test").toPandas()
+    want = ann.cosine_topk_bruteforce(
+        spark.createDataFrame(qpdf), corpus, 5
+    ).toPandas()
+    key = ["qid", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["neighbor_id"]].equals(want[key + ["neighbor_id"]])
+    assert np.array_equal(got["cosine"].to_numpy(), want["cosine"].to_numpy())
+
+
+def test_stream_indexed_topk_matches_batch(spark, tmp_path):
+    """The persisted-IVF foreachBatch face: streamed queries searched
+    per micro-batch against the partition-pruned index must equal the
+    batch ivf_search at the same nprobe (same code path per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from rios_spark import ann
+    from rios_spark.streaming import stream_indexed_topk
+
+    rng = np.random.default_rng(6)
+    base = rng.normal(size=(500, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(500), "embedding": [v.tolist() for v in base]}
+    )
+    idx = str(tmp_path / "sidx")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), idx, n_centroids=4, list_shards=2, seed=9
+    )
+    qpdf = pdf.iloc[:20].rename(columns={"vec_id": "qid"})
+    src = str(tmp_path / "sq_src")
+    spark.createDataFrame(qpdf).write.parquet(src)
+    sink = str(tmp_path / "sq_sink")
+    ckpt = str(tmp_path / "sq_ckpt")
+    stream = spark.readStream.schema(
+        "qid long, embedding array<double>"
+    ).parquet(src)
+    q = stream_indexed_topk(stream, idx, sink, ckpt, k=5, nprobe=4).start()
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(sink)
+        .drop("__epoch")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ann.ivf_search(spark, idx, spark.createDataFrame(qpdf), 5, nprobe=4)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["qid", "rank", "neighbor_id"]].equals(
+        want[["qid", "rank", "neighbor_id"]]
+    )
