@@ -1325,3 +1325,53 @@ def test_append_log_lifecycle(spark, tmp_path):
     assert got["stale"] is None
     st2 = ann.ivf_index_status(spark, legacy)
     assert st2["n_appends"] == 1 and st2["stale_ever"] is False
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=2000), max_size=40),
+    cap=st.integers(min_value=1, max_value=1500),
+)
+def test_char_bounded_slices_properties(lens, cap):
+    """Invariants of the Arrow-kernel sub-batcher: slices are
+    consecutive and exhaustive (every row in exactly one slice), no
+    slice exceeds the cap unless it is a single over-cap row, and
+    every slice is non-empty when there are rows."""
+    sl = textops._char_bounded_slices(lens, cap)
+    assert sl[0][0] == 0 and sl[-1][1] == len(lens)
+    for (a, b), (c, _d) in zip(sl, sl[1:]):
+        assert b == c and a < b
+    for a, b in sl:
+        if b - a > 1:
+            assert sum(lens[a:b]) <= cap
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    d=st.integers(min_value=2, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_sq8_roundtrip_error_bound(n, d, seed):
+    """SQ8 encode/decode: every in-range value reconstructs within half
+    a quantization step per dimension; params trained on the matrix
+    itself make every value in-range (no clipping)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d))
+    from rios_spark.ann import _sq8_decode, _sq8_encode, _train_sq8_params
+
+    dmin, scale = _train_sq8_params(mat)
+    dec = _sq8_decode(_sq8_encode(mat, dmin, scale), dmin, scale)
+    assert np.all(np.abs(dec - mat) <= scale / 2 + 1e-12)
+    # constant dimensions: scale falls back to 1, decode is exact dmin
+    mat[:, 0] = 3.25
+    dmin2, scale2 = _train_sq8_params(mat)
+    assert scale2[0] == 1.0
+    dec2 = _sq8_decode(_sq8_encode(mat, dmin2, scale2), dmin2, scale2)
+    assert np.all(dec2[:, 0] == 3.25)
