@@ -45,7 +45,9 @@ def main() -> None:
     ap.add_argument(
         "--sq8", action="store_true",
         help="also write the int8 scalar-quantized rerank tier (25%% of "
-        "the float32 footprint) and search with rerank_source='sq8'",
+        "the float32 footprint); with --pq the job additionally runs the "
+        "rerank_source='sq8' search leg (without --pq the tier is built "
+        "for later use and the sq8 search leg is skipped)",
     )
     ap.add_argument(
         "--append", type=int, default=0, metavar="N",
@@ -116,11 +118,18 @@ def main() -> None:
             "sq8_rerank_sec": round(wall, 2),
             "sq8_rerank_qps": round(args.n_queries / wall, 1),
         }))
+    if args.sq8 and not args.pq:
+        print(json.dumps({"note": "sq8 tier written; sq8 search leg needs --pq"}))
     if args.append:
         from rios_spark.datagen import gen_embeddings_spark
 
-        batch = gen_embeddings_spark(spark, args.append).withColumn(
-            "vec_id", F.col("vec_id") + 10_000_000
+        # new ids start past the corpus max (a fixed offset collides for
+        # corpora with >= that many rows), and a different seed makes
+        # the appended batch genuinely new vectors rather than exact
+        # duplicates of the build set (code-review r6)
+        off = int(vecs.agg(F.max("vec_id")).first()[0]) + 1
+        batch = gen_embeddings_spark(spark, args.append, seed=off % 97 + 1).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(off)
         )
         got = ann.ivf_index_append(batch, args.index)
         print(json.dumps({"append": got}))

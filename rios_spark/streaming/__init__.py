@@ -446,9 +446,20 @@ def stream_indexed_topk(
     per-list cogrouped scoring, a global rank window) that pure append
     -mode streaming cannot express inline, so this runs it per batch
     under foreachBatch: each batch is a bounded BATCH job against the
-    static index, and the checkpoint gives the sink exactly-once
-    batches on restart. Queries live in exactly ONE micro-batch, so
-    per-query top-k never needs cross-batch state.
+    static index. The sink is EXACTLY-ONCE per epoch because the write
+    is idempotent, not merely checkpointed: results land partitioned
+    by __epoch with dynamic partition overwrite, so a crash between
+    the parquet commit and the checkpoint record makes the retried
+    epoch REPLACE its own partition instead of appending duplicates
+    (foreachBatch alone is at-least-once — code-review r6). Queries
+    live in exactly ONE micro-batch, so per-query top-k never needs
+    cross-batch state.
+
+    Each micro-batch pays ivf_search's fixed setup (meta read, verified
+    centroid load, probe-set collect) — negligible for availableNow
+    batch drains (the designed mode); a continuous low-latency
+    deployment should hoist that setup into a prepared handle in its
+    own foreachBatch instead.
 
     Returns the configured DataStreamWriter — call .start() (add
     .trigger(...) first to override the availableNow default)."""
@@ -461,8 +472,12 @@ def stream_indexed_topk(
             bdf.sparkSession, index_path, bdf, k, nprobe=nprobe,
             q_id=q_id, q_emb=q_emb,
         )
-        out.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            sink_path
+        (
+            out.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(sink_path)
         )
 
     return (

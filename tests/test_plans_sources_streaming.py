@@ -1188,6 +1188,14 @@ def test_stream_indexed_topk_matches_batch(spark, tmp_path):
     ).parquet(src)
     q = stream_indexed_topk(stream, idx, sink, ckpt, k=5, nprobe=4).start()
     q.awaitTermination(120)
+    # epoch-retry idempotency (code-review r6: foreachBatch alone is
+    # at-least-once): re-running the SAME epoch against the same sink
+    # — here via a fresh checkpoint — must REPLACE the epoch partition,
+    # not append duplicates
+    q2 = stream_indexed_topk(
+        stream, idx, sink, str(tmp_path / "sq_ckpt2"), k=5, nprobe=4
+    ).start()
+    q2.awaitTermination(120)
     got = (
         spark.read.parquet(sink)
         .drop("__epoch")
