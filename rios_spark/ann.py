@@ -516,6 +516,51 @@ def _sq8_decode(codes: np.ndarray, dmin: np.ndarray, scale: np.ndarray) -> np.nd
     return dmin + codes.astype(np.float64) * scale
 
 
+# (meta, centroids) are IMMUTABLE once a build completes — appends
+# touch only assigned/codes/sq8 and the append_log; only a REBUILD
+# rewrites them, and a rebuild replaces the files (new sizes/mtimes).
+# A per-process memo keyed by those file stats removes two driver
+# parquet reads + an md5 verify from every search on the serving hot
+# path (continuous streaming, repeated-query sessions, foreachBatch)
+# while staying exactly as safe as reloading: any change to either
+# table's file listing misses the memo and goes through the verified
+# load again (code-review r6 #4).
+_HANDLE_CACHE: dict[str, tuple[str, dict, np.ndarray]] = {}
+
+
+def _local_fs_sig(path: str) -> str | None:
+    """File-stats signature of {path}/meta + {path}/centroids for the
+    handle memo; None (= never cache) for non-local paths, where cheap
+    listing/mtime semantics are not guaranteed."""
+    import os
+
+    if "://" in path:
+        return None
+    parts = []
+    for sub in ("meta", "centroids"):
+        d = os.path.join(path, sub)
+        if not os.path.isdir(d):
+            return None
+        for f in sorted(os.listdir(d)):
+            st = os.stat(os.path.join(d, f))
+            parts.append(f"{sub}/{f}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _index_handle(spark, path: str) -> tuple[dict, np.ndarray]:
+    """Memoized verified (meta, centroids) for a persisted index."""
+    sig = _local_fs_sig(path)
+    if sig is not None:
+        hit = _HANDLE_CACHE.get(path)
+        if hit is not None and hit[0] == sig:
+            return dict(hit[1]), hit[2]
+    meta = _require_index_meta(spark, path)
+    centroids = _load_centroids_verified(spark, path, meta)
+    if sig is not None:
+        _HANDLE_CACHE[path] = (sig, meta, centroids)
+    return dict(meta), centroids
+
+
 def _encode_and_write(
     data: DataFrame,
     path: str,
@@ -798,8 +843,7 @@ def ivf_index_append(
     floats. Codes use the encoding recorded in the meta (residual for
     r5+ builds, raw for backfilled legacy ones)."""
     spark = data.sparkSession
-    meta = _require_index_meta(spark, path)
-    centroids = _load_centroids_verified(spark, path, meta)
+    meta, centroids = _index_handle(spark, path)
     shards = int(meta["list_shards"])
     has_pq = "m" in meta and meta["m"] is not None
     has_full = bool(meta.get("has_full", not has_pq))
@@ -864,8 +908,8 @@ def ivf_index_status(spark, path: str) -> dict:
     """Freshness status of a persisted index from its immutable meta
     plus the append-only `append_log` telemetry: stale_ever is sticky
     (the index HAS absorbed at least one drifted batch since build —
-    only a rebuild clears it, by leaving the old log behind with the
-    old index)."""
+    only a rebuild clears it: ivf_build_index resets the log to an
+    empty fresh generation before its first data write)."""
     meta = _require_index_meta(spark, path)
     out = {
         "build_assign_cos": meta.get("assign_cos"),
@@ -923,8 +967,7 @@ def ivf_search(
     touches only the probed lists' files; scoring is the same cogrouped
     GEMM + global top-k window as cosine_topk_ivf. nprobe == n_centroids
     is exact."""
-    meta = _require_index_meta(spark, path)
-    centroids = _load_centroids_verified(spark, path, meta)
+    meta, centroids = _index_handle(spark, path)
     if meta.get("has_full") is False:
         raise ValueError(
             f"index at {path!r} stores PQ codes only (no assigned/ float "
@@ -1242,8 +1285,7 @@ def ivf_pq_search(
             f"rerank_source={rerank_source!r} requires rerank_path — without "
             "one the search is ADC-only and no rerank tier is read"
         )
-    meta = _require_index_meta(spark, path)
-    coarse = _load_centroids_verified(spark, path, meta)
+    meta, coarse = _index_handle(spark, path)
     codebooks = _read_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     shards = int(meta["list_shards"])

@@ -1375,3 +1375,47 @@ def test_sq8_roundtrip_error_bound(n, d, seed):
     assert scale2[0] == 1.0
     dec2 = _sq8_decode(_sq8_encode(mat, dmin2, scale2), dmin2, scale2)
     assert np.all(dec2[:, 0] == 3.25)
+
+
+def test_index_handle_memo(spark, tmp_path, monkeypatch):
+    """The serving-path (meta, centroids) memo: a repeat search must
+    not re-read the meta/centroids tables (they are build-time
+    immutable); a REBUILD changes the underlying files and must miss
+    the memo and reload through the verified path; non-local paths
+    never cache."""
+    pdf = _clustered_vecs(n=400)
+    path = str(tmp_path / "hidx")
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), path, n_centroids=4, list_shards=2, seed=1
+    )
+    qs = spark.createDataFrame(pdf.iloc[:5].rename(columns={"vec_id": "qid"}))
+    calls = {"n": 0}
+    real = ann._require_index_meta
+
+    def counting(sp, p):
+        calls["n"] += 1
+        return real(sp, p)
+
+    monkeypatch.setattr(ann, "_require_index_meta", counting)
+    ann._HANDLE_CACHE.clear()
+    a = ann.ivf_search(spark, path, qs, 3, nprobe=4, q_id="qid").toPandas()
+    assert calls["n"] == 1
+    b = ann.ivf_search(spark, path, qs, 3, nprobe=4, q_id="qid").toPandas()
+    assert calls["n"] == 1  # memo hit: no second meta read
+    assert a.sort_values(["qid", "rank"]).reset_index(drop=True).equals(
+        b.sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+
+    # rebuild with a different seed -> different centroids on disk ->
+    # the file-stats signature misses and the fresh centroids load
+    ann.ivf_build_index(
+        spark.createDataFrame(pdf), path, n_centroids=4, list_shards=2, seed=77
+    )
+    ann.ivf_search(spark, path, qs, 3, nprobe=4, q_id="qid").toPandas()
+    assert calls["n"] == 2
+    sig_now = ann._local_fs_sig(path)
+    assert ann._HANDLE_CACHE[path][0] == sig_now
+
+    # non-local paths are never cached
+    assert ann._local_fs_sig("s3://bucket/idx") is None
+    assert ann._local_fs_sig(str(tmp_path / "missing")) is None
