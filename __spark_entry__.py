@@ -1,14 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 The engine lives in rios_spark/ (see SURVEY.md §2 for the operator
-inventory these queries cover). EVERY queries() entry (51 as of r6)
+inventory these queries cover). EVERY queries() entry (52 as of r6)
 has a matching oracle_sql() DuckDB statement computing the same result
 with identical arithmetic — including simhash_docs (md5-bit voting in
 SQL), media_image_features (deterministic fixture re-derived as a
 constant table), stratified_sample_docs (shared md5-bucket quota
 thresholds) and winnow_near_dup_docs (winnowed-fingerprint pair
-generation), tpch_q3/tpch_q5 (join-order-sensitive relational
-shapes — q5 adds the 6-table correlated-dim form) and
+generation), tpch_q3/q5/q10 (join-order-sensitive relational
+shapes — q5 the 6-table correlated-dim form, q10 agg-before-dims) and
 embedding_topk_indexed (the persisted-IVF serving path searched at
 nprobe == n_centroids, exact by construction). Self-check:
 python tools/check_oracles.py

@@ -935,6 +935,68 @@ ORDER BY revenue DESC
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 analogue (returned-item reporting): customers ranked
+    by revenue lost to returns in a quarter. The fact-side filter
+    (l_returnflag = 'R' + the order-date quarter) pushes into both
+    scans BEFORE the l<->o join, the per-customer agg runs on the
+    joined facts, and only the aggregated (one row per customer)
+    result joins the customer/nation dims — broadcast, after the
+    reduction, never inflating the fact join. Top 20 by revenue."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-07-01").cast("timestamp")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+    )
+
+
+O_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name, revenue, n_items FROM (
+  SELECT o_custkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-07-01'
+  GROUP BY o_custkey)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation — identical query shape to the
     streaming operator (streaming.stream_tile_counts), run in batch."""
@@ -1783,6 +1845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
     "top_orders_revenue": q_top_orders_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "events_hourly": q_events_hourly,
@@ -1835,6 +1898,7 @@ ORACLES: dict[str, str] = {
     "tpch_q1": O_TPCH_Q1,
     "tpch_q3": O_TPCH_Q3,
     "tpch_q5": O_TPCH_Q5,
+    "tpch_q10": O_TPCH_Q10,
     "top_orders_revenue": O_TOP_ORDERS_REVENUE,
     "revenue_by_nation": O_REVENUE_BY_NATION,
     "events_hourly": O_EVENTS_HOURLY,

@@ -38,6 +38,7 @@ AUDIT = [
     ("fingerprint_near_dup_docs", "ONE scan: groupBy fp collects sorted doc lists (df guard = size filter), id1<id2 pairs generated inside the array, then pair agg — never all-pairs, no self-join recompute"),
     ("tpch_q3", "join-order-sensitive relational shape: segment filter pushed to the customer scan, filtered customer BROADCAST into orders, date predicates pushed to both fact scans; no SortMergeJoin at bench scale"),
     ("tpch_q5", "6-table correlated-dim join: region->nation chain broadcast, nation-pruned customer/supplier dims broadcast into the facts, c_nationkey=s_nationkey applied post-join; the only shuffle at scale is lineitem<->orders + the final per-nation agg"),
+    ("tpch_q10", "agg-before-dims shape: returnflag + date filters pushed to both fact scans, per-customer agg on the joined facts, THEN broadcast dim joins on the reduced result; 3 BHJ, 0 SMJ"),
     ("embedding_topk_indexed", "persisted-IVF serving path: probed list ids pushed into the assigned-table read as a list_id PARTITION FILTER (the scan touches only probed lists' files), cogrouped GEMM scoring, global top-k window"),
 ]
 
