@@ -547,8 +547,20 @@ def _local_fs_sig(path: str) -> str | None:
     return "|".join(parts)
 
 
+# Cached handles kept per process: each is ~n_centroids x dim floats
+# (KBs); the bound only matters for pathological many-index sessions.
+_HANDLE_CACHE_MAX = 64
+
+
 def _index_handle(spark, path: str) -> tuple[dict, np.ndarray]:
-    """Memoized verified (meta, centroids) for a persisted index."""
+    """Memoized verified (meta, centroids) for a persisted index.
+
+    The cached centroids array is returned BY REFERENCE but marked
+    read-only (ADVICE r6): a future caller normalizing it in place
+    would otherwise silently poison every later search in the process.
+    Callers needing a mutable copy take .copy() explicitly. The cache
+    itself is bounded FIFO (oldest path evicted past _HANDLE_CACHE_MAX)
+    so long sessions over many index paths cannot grow it unboundedly."""
     sig = _local_fs_sig(path)
     if sig is not None:
         hit = _HANDLE_CACHE.get(path)
@@ -556,7 +568,10 @@ def _index_handle(spark, path: str) -> tuple[dict, np.ndarray]:
             return dict(hit[1]), hit[2]
     meta = _require_index_meta(spark, path)
     centroids = _load_centroids_verified(spark, path, meta)
+    centroids.setflags(write=False)
     if sig is not None:
+        while len(_HANDLE_CACHE) >= _HANDLE_CACHE_MAX:
+            _HANDLE_CACHE.pop(next(iter(_HANDLE_CACHE)))
         _HANDLE_CACHE[path] = (sig, meta, centroids)
     return dict(meta), centroids
 

@@ -471,8 +471,22 @@ def embedding_all_pairs_exact(
     wanting subquadratic behavior use the LSH mode (planes > 0)."""
     import math
 
-    n = df.count()
-    nblocks = max(1, math.ceil(n / max(block_rows, 1)))
+    from rios_spark.ann import fast_count
+
+    n = fast_count(df)
+    # parallelism-aware tiling (guide §2): block_rows only CAPS the
+    # block size — at 20k rows a single block would run the entire N^2
+    # GEMM in ONE applyInPandas task while every other core idles.
+    # Split until block-pair tasks (~t(t+1)/2) cover the cores, but
+    # never below ~1.5k rows/block so each task's GEMM stays amortized;
+    # tiny inputs keep one block.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    t_cover = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2)
+    nblocks = max(
+        1,
+        math.ceil(n / max(block_rows, 1)),
+        min(t_cover, math.ceil(n / 1536)),
+    )
     rows = df.select(
         F.col(id_col).alias("id"), F.col(emb_col).alias("emb")
     ).withColumn("__b", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int"))

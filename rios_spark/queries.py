@@ -42,6 +42,48 @@ from rios_spark.plans import adaptive_split, salted_agg
 DOC_RES = 6
 CUST_RES = 5
 
+# Row gate for broadcast hints on SCALE-GROWING dims (VERDICT r6 #3):
+# nation/region are bounded (25/5 rows — broadcast is right forever),
+# but customer/supplier/orders grow with sf, and a forced F.broadcast
+# at 100x sf is a multi-GB build the driver cannot hold. Slim dim
+# projections here are a few tens of bytes/row, so 4M rows ~ 100-200 MB
+# framed — inside the "few hundred MB is fine" broadcast envelope and
+# far under the 8 GB / 512M-row hard cap. Above the gate the hint is
+# dropped and AQE picks the strategy from observed sizes.
+BROADCAST_ROW_GATE = 4_000_000
+
+
+def _bcast_gated(df: DataFrame, base: DataFrame) -> DataFrame:
+    """Broadcast-hint `df` (a filtered/projected dim) only when its
+    BASE table's metadata row count clears BROADCAST_ROW_GATE. The base
+    count is a free parquet-footer read and an upper bound on the
+    filtered side, so the gate never launches a counting job inside a
+    timed query; at bench scale every dim clears it, so plans are
+    identical to the unconditional hint."""
+    from rios_spark.ann import fast_count
+
+    return F.broadcast(df) if fast_count(base) <= BROADCAST_ROW_GATE else df
+
+
+def _fan_out(df: DataFrame, rows_per_task: int = 2048) -> DataFrame:
+    """Round-robin repartition a scan that is narrower than the cluster
+    before per-row-heavy map work (regex metrics, token explode + md5,
+    Arrow kernels). Parquet cannot split below row-group granularity,
+    so the driver fixtures (one row group per table) scan as ONE task
+    at any sf and the whole map stage runs on one core. The metadata
+    row count is a free upper bound sizing the fan-out; tiny tables and
+    already-wide scans (the production shape) pass through untouched."""
+    from rios_spark.ann import _metadata_row_count, ensure_parallelism
+
+    hint = _metadata_row_count(df)
+    if hint is None:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    target = min(par, max(1, hint // rows_per_task))
+    if target <= 1:
+        return df
+    return ensure_parallelism(df, min_parts=target)
+
 
 def _f6(c):
     """Stabilize a double to 6 decimals via floor-scaling. Unlike
@@ -778,10 +820,12 @@ def q_revenue_by_nation(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
+    # orders/customer broadcasts are gated (they grow with sf); nation
+    # is bounded at 25 rows and stays unconditional
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(_bcast_gated(orders.select("o_orderkey", "o_custkey"), orders),
                 li["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(_bcast_gated(cust.select("c_custkey", "c_nationkey"), cust),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -809,8 +853,9 @@ def q_tpch_q3(spark, sf_dir):
     the only shuffle left is the lineitem join + final agg on
     l_orderkey — the minimum this query admits."""
     cutoff = F.lit("1996-06-01").cast("timestamp")
+    cust_base = _t(spark, sf_dir, "customer")
     cust = (
-        _t(spark, sf_dir, "customer")
+        cust_base
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
@@ -825,7 +870,9 @@ def q_tpch_q3(spark, sf_dir):
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     qualifying = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # gated hint (VERDICT r6 #3): customer grows with sf — at bench
+        # scale the gate keeps the BroadcastHashJoin plan unchanged
+        orders.join(_bcast_gated(cust, cust_base), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     return (
@@ -882,13 +929,15 @@ def q_tpch_q5(spark, sf_dir):
         )
         .select("n_nationkey", "n_name")
     )
+    cust_base = _t(spark, sf_dir, "customer")
     cust = (
-        _t(spark, sf_dir, "customer")
+        cust_base
         .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", F.col("c_nationkey").alias("cn"))
     )
+    supp_base = _t(spark, sf_dir, "supplier")
     supp = (
-        _t(spark, sf_dir, "supplier")
+        supp_base
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("s_nationkey").alias("sn"), "n_name")
     )
@@ -901,9 +950,11 @@ def q_tpch_q5(spark, sf_dir):
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     return (
+        # nation-pruned dims keep their broadcast hint only under the
+        # row gate (VERDICT r6 #3) — identical plans at bench scale
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_bcast_gated(cust, cust_base), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_bcast_gated(supp, supp_base), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("cn") == F.col("sn"))
         .groupBy("n_name")
         .agg(
@@ -965,13 +1016,14 @@ def q_tpch_q10(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
-    cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
+    cust_base = _t(spark, sf_dir, "customer")
+    cust = cust_base.select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
+        # customer grows with sf: gated hint (VERDICT r6 #3); nation is
+        # bounded and stays unconditional
         per_cust.join(
-            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            _bcast_gated(cust, cust_base), F.col("o_custkey") == F.col("c_custkey")
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -1111,7 +1163,8 @@ O_STRATIFIED_SAMPLE_DOCS = textops.stratified_sample_sql(
 
 
 def q_doc_text_metrics(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # regex-heavy projection: fan the single-row-group scan out first
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textops.token_count_col("text").cast("long").alias("n_tokens"),
@@ -1151,7 +1204,7 @@ def q_doc_lang_scores(spark, sf_dir):
     language, so duplicate-counting semantics match the per-language
     filters exactly. (The previous form ran one interpreted HOF filter
     lambda per token per language — measured ~3x slower.)"""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     vocab = [
@@ -1201,7 +1254,8 @@ def q_minhash_w1_docs(spark, sf_dir):
     """Word-level (w=1) minhash signature — the SQL-expressible minhash
     variant: per doc, min over words of k affine hashes of the word's
     md5-derived 30-bit base."""
-    docs = _t(spark, sf_dir, "documents")
+    # md5-per-word over ~6M exploded tokens: fan the scan out first
+    docs = _fan_out(_t(spark, sf_dir, "documents"), rows_per_task=256)
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
@@ -1378,15 +1432,31 @@ def q_embedding_topk_indexed(spark, sf_dir):
         ann.ivf_build_index(
             embs, build_dir, n_centroids=n_cen, list_shards=shards, seed=42
         )
-        # a partial dir at `path` (crashed build of the SAME content —
-        # different content means a different key) must go before the
-        # swap; concurrent healthy readers of this key cannot exist if
-        # its meta was invalid
-        shutil.rmtree(path, ignore_errors=True)
+        # re-check the meta IMMEDIATELY before the swap (ADVICE r6
+        # medium): the deciding observation above is stale by now — a
+        # concurrent run may have installed a VALID equivalent index
+        # (same content key, same params, fixed seed) while we built,
+        # and rmtree'ing it would yank a directory healthy readers are
+        # mid-search in. If it became valid, discard our copy instead.
         try:
-            os.rename(build_dir, path)
-        except OSError:
+            meta2 = ann._read_index_meta(spark, path)
+        except Exception:
+            meta2 = {}
+        if (
+            meta2.get("n_rows") == n_rows
+            and meta2.get("n_centroids") == n_cen
+            and meta2.get("list_shards") == shards
+        ):
             shutil.rmtree(build_dir, ignore_errors=True)
+        else:
+            # a partial dir at `path` (crashed build of the SAME
+            # content — different content means a different key) must
+            # go before the swap
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(build_dir, path)
+            except OSError:
+                shutil.rmtree(build_dir, ignore_errors=True)
     n_q = 20
     queries = (
         embs.filter(F.col("vec_id") < n_q)
@@ -1430,7 +1500,8 @@ def q_simhash_docs(spark, sf_dir):
     BIGINT (matching numpy's uint64→int64 view)."""
     from rios_spark import dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    # Arrow-batched voting kernel: fan the one-row-group scan out first
+    docs = _fan_out(_t(spark, sf_dir, "documents"), rows_per_task=256)
     return docs.select("doc_id", dedup.simhash_col_udf()("text").alias("simhash"))
 
 
@@ -1654,7 +1725,7 @@ def q_vocab_topk_docs(spark, sf_dir):
     tokens by document frequency over the corpus — explode whitespace
     tokens once, one partial+final agg, deterministic tie-break. The
     explode output never shuffles raw text: only (token, doc_id)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     ).filter(F.col("token") != "")

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NOTE (r7, measured): lowering spark.sql.files.openCostInBytes
+        # to split small single-file tables wider was tried and
+        # REVERTED — parquet cannot split below row-group granularity,
+        # so the extra splits of the one-row-group fixtures were all
+        # EMPTY, and the phantom width defeated the operators'
+        # ensure_parallelism fan-out (they saw a "wide" scan with every
+        # row in one partition). Scan width here honestly equals row-
+        # group count; per-row-heavy operators fan out explicitly.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -364,6 +364,74 @@ def _quantize_col(dist, quantize: float):
     return F.floor(dist * F.lit(quantize) + F.lit(1e-3)) / F.lit(quantize)
 
 
+# GEMM candidate path (guide §1.2 "the distributed algorithm" applied
+# per task): selecting top-k by great-circle distance is equivalent to
+# selecting by unit-sphere chord (dot product), because haversine
+# distance = 2R*asin(sqrt((1-dot)/2)) is strictly decreasing in dot.
+# A BLAS dgemm over 3-D unit vectors replaces per-pair transcendental
+# haversine evaluation (~20x fewer flops and vectorized), then the
+# EXACT haversine_km formula runs only on the k+pad selected
+# candidates so emitted distances are bit-identical to the full scan.
+# Exactness is certified per row: every excluded point's dot is <= the
+# pad-th candidate's, so its distance is >= that bound; if the bound
+# (minus a generous fp margin) does not strictly clear the row's k-th
+# distance, the row falls back to the full per-pair haversine scan.
+_GEMM_CAND_PAD = 16
+# fp margin (km) between dot-derived and direct haversine distances:
+# the 3-D dot of unit vectors carries ~1e-14 absolute error, which maps
+# to < 1e-3 km of distance error for any pair farther apart than ~1 m;
+# closer-than-that boundary cases simply fail the strict guard and
+# rerun exactly.
+_GEMM_EPS_KM = 1e-3
+# below this pair count the xyz conversion + candidate gather overhead
+# exceeds the transcendental savings
+_GEMM_MIN_PAIRS = 1 << 18
+
+
+def _unit_xyz(lat_deg: np.ndarray, lon_deg: np.ndarray) -> np.ndarray:
+    la, lo = np.radians(lat_deg), np.radians(lon_deg)
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=1)
+
+
+def _topk_rows_scan(qla, qlo, dla, dlo, did, kk, use_haversine, quantize):
+    """Full per-pair scan for one chunk of query rows: compute every
+    distance, argpartition to kk, lexsort (dist, id). Rows where a
+    distance-tie group spans the kk boundary (argpartition splits ties
+    arbitrarily, which could pick the wrong IDS) are re-ranked with a
+    full (dist, id) lexsort, so the result is always the strict
+    lexicographic top-k the SQL oracles pin."""
+    a, o = qla[:, None], qlo[:, None]
+    nd = len(did)
+    if use_haversine:
+        dist = haversine_km(a, o, dla[None, :], dlo[None, :])
+    else:
+        dist = np.sqrt((a - dla[None, :]) ** 2 + (o - dlo[None, :]) ** 2)
+    if quantize is not None:
+        dist = _quantize_np(dist, quantize)
+    idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk] if kk < nd else (
+        np.broadcast_to(np.arange(nd), (len(qla), nd)).copy()
+    )
+    rows = np.arange(len(qla))[:, None]
+    dsel = dist[rows, idx]
+    ord2 = np.lexsort((did[idx], dsel), axis=1)
+    out_ids = did[idx[rows, ord2]]
+    out_dist = dsel[rows, ord2]
+    if kk < nd:
+        # boundary-tie repair: more than kk points at <= the kk-th
+        # distance means the partition cut through a tie group
+        tied = np.flatnonzero(
+            (dist <= out_dist[:, kk - 1, None]).sum(axis=1) > kk
+        )
+        if tied.size:
+            full_ord = np.lexsort(
+                (np.broadcast_to(did, (tied.size, nd)), dist[tied]), axis=1
+            )[:, :kk]
+            out_ids[tied] = did[full_ord]
+            out_dist[tied] = dist[tied[:, None], full_ord]
+    return out_ids, out_dist
+
+
 def _block_topk(
     qla: np.ndarray,
     qlo: np.ndarray,
@@ -381,29 +449,92 @@ def _block_topk(
     With `quantize`, distances are epsilon-floored onto the 1/quantize
     grid BEFORE selection/ranking, so near-ties within fp noise of each
     other collapse to the same grid point and the (distance, id) order
-    is reproducible across engines."""
+    is reproducible across engines.
+
+    For the haversine metric at scale the per-pair transcendental scan
+    is replaced by the GEMM candidate path (see _GEMM_CAND_PAD above):
+    identical results — emitted distances come from the same
+    haversine_km formula, and any row whose exactness the dot-product
+    bound cannot certify reruns through the full scan."""
     nq, nd = len(qla), len(did)
     kk = min(k, nd)
     out_ids = np.empty((nq, kk), np.int64)
     out_dist = np.empty((nq, kk), np.float64)
     step = max(1, KNN_GEMM_BUDGET // max(nd, 1))
+    m = min(nd, kk + _GEMM_CAND_PAD)
+    use_gemm = (
+        use_haversine and m < nd and nq * nd >= _GEMM_MIN_PAIRS
+    )
+    if use_gemm:
+        dxyz = _unit_xyz(dla, dlo)
+        qxyz = _unit_xyz(qla, qlo)
     for s in range(0, nq, step):
         e = min(s + step, nq)
-        a, o = qla[s:e, None], qlo[s:e, None]
-        if use_haversine:
-            dist = haversine_km(a, o, dla[None, :], dlo[None, :])
-        else:
-            dist = np.sqrt((a - dla[None, :]) ** 2 + (o - dlo[None, :]) ** 2)
-        if quantize is not None:
-            dist = _quantize_np(dist, quantize)
-        idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk] if kk < nd else (
-            np.broadcast_to(np.arange(nd), (e - s, nd)).copy()
+        if not use_gemm:
+            out_ids[s:e], out_dist[s:e] = _topk_rows_scan(
+                qla[s:e], qlo[s:e], dla, dlo, did, kk, use_haversine, quantize
+            )
+            continue
+        dots = qxyz[s:e] @ dxyz.T
+        nr = e - s
+        # Per-row candidate threshold ESTIMATED from a strided column
+        # subsample: an exact per-row m-th-largest (np.partition over
+        # the full chunk) measured ~10 ms/Melem — the dominant cost —
+        # while partitioning a ~256-column subsample is ~free. Any
+        # threshold keeps the result exact: the guard below certifies
+        # each row against the ACTUAL threshold used, rows left with
+        # < kk candidates rerun through the full scan, and aiming at
+        # overall rank ~4m keeps expected candidates small while
+        # making the exclusion bound LOOSER (t lower -> d(t) larger),
+        # so the guard passes more easily than with the exact m-th.
+        stride = max(1, nd // 256)
+        sub = dots[:, ::stride]
+        t_rank = min(sub.shape[1] - 1, max(1, (4 * m) // stride))
+        t = np.partition(sub, sub.shape[1] - 1 - t_rank, axis=1)[
+            :, sub.shape[1] - 1 - t_rank
+        ]
+        r, c = np.nonzero(dots >= t[:, None])  # row-major: r ascending
+        # rows the estimated threshold left short of kk candidates
+        # rerun through the full scan (rare — subsample variance only)
+        counts = np.bincount(r, minlength=nr)
+        ok = counts >= kk
+        if not ok.all():
+            sel = ok[r]
+            r, c = r[sel], c[sel]
+        dsel = haversine_km(qla[s + r], qlo[s + r], dla[c], dlo[c])
+        # exclusion bound: every non-candidate has dot STRICTLY below t
+        d_bound = (
+            2.0 * EARTH_RADIUS_KM
+            * np.arcsin(np.sqrt((1.0 - np.clip(t, -1.0, 1.0)) / 2.0))
+            - _GEMM_EPS_KM
         )
-        rows = np.arange(e - s)[:, None]
-        dsel = dist[rows, idx]
-        ord2 = np.lexsort((did[idx], dsel), axis=1)
-        out_ids[s:e] = did[idx[rows, ord2]]
-        out_dist[s:e] = dsel[rows, ord2]
+        if quantize is not None:
+            dsel = _quantize_np(dsel, quantize)
+            d_bound = _quantize_np(np.maximum(d_bound, 0.0), quantize)
+        # segmented (dist, id) top-k over the ragged candidate lists
+        order = np.lexsort((did[c], dsel, r))
+        r_s = r[order]
+        if ok.all():
+            seg_start = np.searchsorted(r_s, np.arange(nr))
+            take = (np.arange(len(r_s)) - seg_start[r_s]) < kk
+            out_ids[s:e] = did[c[order][take]].reshape(nr, kk)
+            out_dist[s:e] = dsel[order][take].reshape(nr, kk)
+        else:
+            rmap = np.cumsum(ok) - 1  # chunk row -> compact ok index
+            r_comp = rmap[r_s]
+            seg_start = np.searchsorted(r_comp, np.arange(int(ok.sum())))
+            take = (np.arange(len(r_comp)) - seg_start[r_comp]) < kk
+            rows_ok = np.flatnonzero(ok)
+            out_ids[s + rows_ok] = did[c[order][take]].reshape(len(rows_ok), kk)
+            out_dist[s + rows_ok] = dsel[order][take].reshape(len(rows_ok), kk)
+        # rows whose k-th distance the bound does not STRICTLY clear
+        # (possible cross-boundary tie), plus short rows, rerun exactly
+        bad = np.flatnonzero(~ok | ~(d_bound > out_dist[s:e, kk - 1]))
+        if bad.size:
+            out_ids[s + bad], out_dist[s + bad] = _topk_rows_scan(
+                qla[s + bad], qlo[s + bad], dla, dlo, did, kk,
+                use_haversine, quantize,
+            )
     return out_ids, out_dist
 
 
@@ -1030,6 +1161,17 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+# Pair budget for the auto-dispatch: above this many query x data
+# distance evaluations the brute path's all-pairs compute exceeds the
+# tiled path's join+guard cost even when the data side broadcasts
+# comfortably. With the GEMM candidate kernel the brute path measured
+# ~2.5-3 s at 1.5e9 pairs (sf1.0) vs ~16 s for a cold tiled pass, so
+# the crossover sits well above bench scale; the gate exists for true
+# scale (e.g. 15M x 1M = 1.5e13 pairs), where all-pairs is
+# catastrophic no matter how fast the per-pair kernel is.
+KNN_BRUTE_PAIR_BUDGET = 4_000_000_000
+
+
 def knn_join(
     queries: DataFrame,
     data: DataFrame,
@@ -1038,11 +1180,13 @@ def knn_join(
     broadcast_threshold: int = 2_000_000,
     **kwargs,
 ) -> DataFrame:
-    """Auto-dispatching kNN: when the data side is small enough to
-    broadcast (count <= broadcast_threshold) the exact brute-force path
-    wins outright (measured ~3x at bench scale — the tiled path's guard
-    overhead only pays off when data cannot be broadcast); otherwise
-    the distributed tiled path runs. Both are exact.
+    """Auto-dispatching kNN: the exact brute-force broadcast path runs
+    when the data side fits the broadcast budget AND the total pair
+    count stays under KNN_BRUTE_PAIR_BUDGET (guide §1.2: the all-pairs
+    compute is O(Q x N) while the tiled path is ~O(Q + N) — at bench
+    sf the brute path wins ~3x, but 10x the rows means 100x the pairs
+    and the tiled join+guard overhead amortizes); otherwise the
+    distributed tiled path runs. Both are exact.
 
     Memory budget of the broadcast path: the threshold bounds only the
     broadcast payload (2M rows x 3 float64 = ~48 MB per executor); the
@@ -1055,11 +1199,16 @@ def knn_join(
     d_lat = kwargs.get("d_lat", "lat")
     d_lon = kwargs.get("d_lon", "lon")
     n = fast_count(data)
+    # pair-count gate on a FREE upper bound (parquet-footer count of a
+    # count-preserving query plan; None = unknown, keep the broadcast
+    # path rather than pay a counting job)
+    q_rows = _metadata_row_count(queries)
+    pairs_ok = q_rows is None or q_rows * n <= KNN_BRUTE_PAIR_BUDGET
     # k >= n means every query's answer is ALL data rows: the tiled
     # path's guard can never certify anything (ADVICE r2) — the
     # broadcast brute path is the only sensible plan, and n <= k is
     # small by definition
-    if n <= broadcast_threshold or k >= n:
+    if (n <= broadcast_threshold and pairs_ok) or k >= n:
         pdf = data.select(
             F.col(d_id).alias("id"), F.col(d_lat).alias("lat"), F.col(d_lon).alias("lon")
         ).toPandas()
@@ -1068,12 +1217,22 @@ def knn_join(
         # footer count on a count-preserving query plan sizes the
         # fan-out so tiny frames don't pay a full-width shuffle
         return knn_bruteforce(
-            ensure_parallelism(queries, rows_hint=_metadata_row_count(queries)),
+            ensure_parallelism(queries, rows_hint=q_rows),
             pdf, k,
             q_lat=kwargs.get("q_lat", "lat"), q_lon=kwargs.get("q_lon", "lon"),
             d_lat="lat", d_lon="lon", d_id="id",
             quantize=kwargs.get("quantize"),
         )
+    # the tiled path needs a `cell` column on both sides; derive any
+    # missing one from the coordinates at the dispatch resolution
+    from rios_spark.grid import cell_col
+
+    if "cell" not in queries.columns:
+        queries = queries.withColumn(
+            "cell", cell_col(kwargs.get("q_lat", "lat"), kwargs.get("q_lon", "lon"), res)
+        )
+    if "cell" not in data.columns:
+        data = data.withColumn("cell", cell_col(d_lat, d_lon, res))
     return knn_tiled(queries, data, k, res, **kwargs)
 
 

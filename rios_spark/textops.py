@@ -260,6 +260,35 @@ def _char_bounded_slices(lens, cap):
     return out
 
 
+# rows per task for the batch fingerprint kernels: ~256 docs (~200 KB
+# of text) keeps the ~10 ms python-worker spin-up well under each
+# task's kernel work while letting a 50k-doc scan reach full width.
+_FPS_ROWS_PER_TASK = 256
+
+
+def _kernel_fan_out(base, src):
+    """Repartition `src` for an Arrow kernel when its scan is narrower
+    than the cluster (guide §2/§6): parquet splits bottom out at ROW
+    GROUPS, so a single-row-group file scans as ONE partition no matter
+    the split config and the whole batch kernel runs on one core (the
+    sf1.0 fixture shape). The pre-filter metadata row count of `base`
+    is a free upper bound sizing the fan-out; streaming frames,
+    non-bare-scan inputs and already-wide scans pass through untouched
+    — at production scale the scan is already wide and this is a no-op."""
+    if src.isStreaming:
+        return src
+    from rios_spark.ann import _metadata_row_count, ensure_parallelism
+
+    hint = _metadata_row_count(base)
+    if hint is None:
+        return src
+    par = src.sparkSession.sparkContext.defaultParallelism
+    target = min(par, max(1, hint // _FPS_ROWS_PER_TASK))
+    if target <= 1:
+        return src
+    return ensure_parallelism(src, min_parts=target)
+
+
 def _fps_map_in_pandas(df, text_col, id_col, k, w, sample_mod):
     """mapInPandas wrapper over _fps_batch_numpy preserving the input
     id column's type. Zero-shuffle, like the expr path."""
@@ -318,7 +347,8 @@ def doc_fingerprints(
     test)."""
     if impl == "arrow":
         return _fps_map_in_pandas(
-            df.filter(F.length(text_col) >= k), text_col, id_col, k, None, sample_mod
+            _kernel_fan_out(df, df.filter(F.length(text_col) >= k)),
+            text_col, id_col, k, None, sample_mod,
         )
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
     ladder, hvar = _kgram_hash_ladder(text_col, k)
@@ -377,7 +407,8 @@ def doc_fingerprints_winnow(
     plan. Both pinned value-identical by test."""
     if impl == "arrow":
         return _fps_map_in_pandas(
-            df.filter(F.length(text_col) >= k + w - 1), text_col, id_col, k, w, None
+            _kernel_fan_out(df, df.filter(F.length(text_col) >= k + w - 1)),
+            text_col, id_col, k, w, None,
         )
     codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
     hladder, hvar = _kgram_hash_ladder(text_col, k)

@@ -696,3 +696,47 @@ def test_knn_tiled_sparse_goes_to_scan(spark):
             zip(grp["neighbor_id"], grp["dist_km"]), want[int(qid)]
         ):
             assert gi == wi and gd == pytest.approx(wd, rel=1e-9)
+
+
+def test_block_topk_gemm_path_bit_identical(monkeypatch):
+    """The GEMM candidate path (dot-product selection + exact haversine
+    on candidates + certified exclusion bound) must return BIT-identical
+    (ids, dists) to the full per-pair scan — with and without quantize,
+    on uniform data AND on a tie-dense lattice that forces quantized
+    collisions at the k-th boundary (exercising the fallback rerun)."""
+    monkeypatch.setattr(spatial, "_GEMM_MIN_PAIRS", 0)
+    rng = np.random.default_rng(77)
+    k = 5
+    cases = []
+    # uniform: GEMM guard certifies nearly every row
+    nq, nd = 400, 2000
+    cases.append((
+        rng.uniform(-80, 80, nq), rng.uniform(-179, 179, nq),
+        rng.uniform(-80, 80, nd), rng.uniform(-179, 179, nd),
+        rng.permutation(nd).astype(np.int64),
+    ))
+    # tie-dense: many points share exact coordinates, so quantized
+    # distances collide across the k-th boundary and rows must fall
+    # back to the exact scan to get the id tie-break right
+    lat_g = np.round(rng.uniform(-5, 5, 50), 1)
+    lon_g = np.round(rng.uniform(-5, 5, 50), 1)
+    pick = rng.integers(0, 50, 3000)
+    cases.append((
+        np.round(rng.uniform(-5, 5, 300), 1), np.round(rng.uniform(-5, 5, 300), 1),
+        lat_g[pick], lon_g[pick],
+        rng.permutation(3000).astype(np.int64),
+    ))
+    for qla, qlo, dla, dlo, did in cases:
+        for quant in (None, 1e5):
+            kk = min(k, len(did))
+            ids_g, d_g = spatial._block_topk(qla, qlo, dla, dlo, did, k, quantize=quant)
+            # oracle: full (distance, id) lexicographic sort — the rule
+            # the SQL oracles pin (row_number over (dist, id))
+            full = spatial.haversine_km(qla[:, None], qlo[:, None], dla[None, :], dlo[None, :])
+            if quant is not None:
+                full = spatial._quantize_np(full, quant)
+            order = np.lexsort((np.broadcast_to(did, full.shape), full), axis=1)[:, :kk]
+            rows = np.arange(len(qla))[:, None]
+            assert ids_g.tolist() == did[order].tolist()
+            # distances bit-for-bit (same haversine_km formula)
+            assert d_g.tolist() == full[rows, order].tolist()
