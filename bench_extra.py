@@ -49,11 +49,26 @@ def main() -> None:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
 
+    from pyspark.sql import functions as F
+
+    def _alu() -> float:
+        # pure-ALU host-health control, same construct as bench.py
+        x = (F.col("id") % 1000).cast("double")
+        ctl = spark.range(60_000_000, numPartitions=cpus * 4).select(
+            F.sum(F.sin(x) * F.cos(x) + F.sqrt(x + 1.0) - F.log(x + 2.0)).alias("s")
+        )
+        t0 = time.monotonic()
+        ctl.collect()
+        return round(time.monotonic() - t0, 3)
+
+    _alu()  # warm
     for name in args.names:  # warm: plan + fs cache
         spark.sparkContext.setJobDescription(f"warm:{name}")
         _force(QUERIES[name](spark, args.sf))
     samples: dict[str, list[float]] = {n: [] for n in args.names}
+    controls: list[float] = []
     for _ in range(args.rounds):
+        controls.append(_alu())
         for name in args.names:
             spark.sparkContext.setJobDescription(f"bench:{name}")
             t0 = time.monotonic()
@@ -61,6 +76,7 @@ def main() -> None:
             samples[name].append(round(time.monotonic() - t0, 3))
     out = {
         "sf": args.sf,
+        "alu_controls": controls,
         "queries": {n: round(float(statistics.median(s)), 3) for n, s in samples.items()},
         "spread": {n: [min(s), max(s)] for n, s in samples.items()},
     }

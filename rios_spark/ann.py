@@ -1014,13 +1014,23 @@ def ivf_search(
 
     probed = queries.select(q_id, q_emb).mapInPandas(
         assign_queries, f"{q_id} long, {q_emb} array<float>, list_id int"
-    ).persist()
-    # registered so the next plan-distinct search (or an explicit
-    # session.release_caches) frees this call's cache (ADVICE r3)
-    track_caches(spark, "ivf_search", [probed])
+    )
     # static partition pruning: the distinct probed lists are bounded by
     # n_centroids * shards — push them into the read as a filter
-    probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
+    if np_eff >= len(centroids):
+        # exact mode probes EVERY list: the probe set is known without
+        # running a job, so skip the distinct+collect (and the persist —
+        # the cogroup is then probed's only consumer). The isin filter
+        # keeps the identical partition-pruned scan shape a reduced
+        # nprobe uses (r7: one Spark job less per serving call).
+        probe_ids = list(range(len(centroids) * shards))
+        track_caches(spark, "ivf_search", [])
+    else:
+        probed = probed.persist()
+        # registered so the next plan-distinct search (or an explicit
+        # session.release_caches) frees this call's cache (ADVICE r3)
+        track_caches(spark, "ivf_search", [probed])
+        probe_ids = [int(r[0]) for r in probed.select("list_id").distinct().collect()]
     pruned = assigned.filter(F.col("list_id").isin(probe_ids))
 
     def score(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
