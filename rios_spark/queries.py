@@ -1462,7 +1462,11 @@ def q_embedding_topk_indexed(spark, sf_dir):
         embs.filter(F.col("vec_id") < n_q)
         .select(F.col("vec_id").alias("qid"), "embedding")
     )
-    out = ann.ivf_search(spark, path, queries, 5, nprobe=n_cen, q_id="qid")
+    # q_rows_hint: the filter bounds the query side at n_q rows, so the
+    # search takes the driver-side probe path (one job, not three)
+    out = ann.ivf_search(
+        spark, path, queries, 5, nprobe=n_cen, q_id="qid", q_rows_hint=n_q
+    )
     return out.select("qid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 

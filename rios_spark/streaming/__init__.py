@@ -455,22 +455,37 @@ def stream_indexed_topk(
     live in exactly ONE micro-batch, so per-query top-k never needs
     cross-batch state.
 
-    Each micro-batch pays ivf_search's fixed setup (meta read, verified
-    centroid load, probe-set collect) — negligible for availableNow
-    batch drains (the designed mode); a continuous low-latency
-    deployment should hoist that setup into a prepared handle in its
-    own foreachBatch instead.
+    Per-micro-batch setup is a PREPARED HANDLE in steady state
+    (VERDICT r6 #4): the verified (meta, centroids) load is memoized
+    per index path (ann._index_handle — any on-disk change misses the
+    memo and reloads verified), and batches at or under
+    ann.IVF_DRIVER_PROBE_ROWS rows take ivf_search's driver-side probe
+    path, collapsing the per-batch work to ONE Spark job (scoring) plus
+    the sink commit. Measured at a processingTime trigger (100-row
+    batches, 20k-vector index, local[8]): ~4.3 s first batch (handle
+    load + worker spin-up), ~1.9 s/batch steady state before r7's
+    driver-side probes, ~1.0 s/batch after (BENCH/STREAM_SERVE_r7.md).
+
+    NOTE: the __epoch idempotence key restarts at 0 with a FRESH
+    checkpoint, and dynamic partition overwrite would then silently
+    REPLACE an earlier run's epoch partitions (ADVICE r6) — point each
+    new checkpoint at a fresh sink_path; reuse a sink only together
+    with its checkpoint.
 
     Returns the configured DataStreamWriter — call .start() (add
     .trigger(...) first to override the availableNow default)."""
-    from rios_spark.ann import ivf_search
+    from rios_spark.ann import IVF_DRIVER_PROBE_ROWS, ivf_search
 
     def _batch(bdf: DataFrame, epoch_id: int) -> None:
-        if bdf.isEmpty():
+        # count replaces isEmpty (both are one bounded job on the
+        # micro-batch) and doubles as the driver-side-probe hint
+        n = bdf.count()
+        if n == 0:
             return
         out = ivf_search(
             bdf.sparkSession, index_path, bdf, k, nprobe=nprobe,
             q_id=q_id, q_emb=q_emb,
+            q_rows_hint=n if n <= IVF_DRIVER_PROBE_ROWS else None,
         )
         (
             out.withColumn("__epoch", F.lit(epoch_id))

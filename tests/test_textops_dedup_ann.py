@@ -505,6 +505,22 @@ def test_ivf_persisted_index_search(spark, embs, tmp_path):
     )
     assert hits / (5 * len(qdf)) >= 0.8
 
+    # driver-side probe path (q_rows_hint under IVF_DRIVER_PROBE_ROWS,
+    # r7): same probe arithmetic driver-side, ONE Spark job — results
+    # must be row-identical to the distributed path at both nprobes,
+    # and the partition filter must still reach the scan
+    for nprobe, base in ((8, got), (4, got2)):
+        df3 = ann.ivf_search(
+            spark, path, queries, 5, nprobe=nprobe, q_id="qid",
+            q_rows_hint=len(qdf),
+        )
+        plan3 = df3._jdf.queryExecution().executedPlan().toString()
+        assert "list_id" in plan3 and ("PartitionFilters: [" in plan3)
+        got3 = df3.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        base_s = base.sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert got3["neighbor_id"].tolist() == base_s["neighbor_id"].tolist()
+        assert got3["cosine"].tolist() == base_s["cosine"].tolist()
+
 
 def test_ivf_meta_protects_sparse_shards(spark, embs, tmp_path):
     """ADVICE r3 regression pin: with ids that are all multiples of 4
