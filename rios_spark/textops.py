@@ -344,7 +344,12 @@ def doc_fingerprints(
     batch-concatenated numpy kernel; 'expr' keeps the pure-JVM
     higher-order-expression plan (still the streaming-safe and
     dependency-light spelling; both are pinned value-identical by
-    test)."""
+    test). Character-range caveat (ADVICE r6): the arrow kernel and
+    the DuckDB oracle hash true code points (utf-32 == ord()), while
+    the 'expr' spelling goes through Spark split('')+ascii, whose
+    units differ for non-BMP characters (astral-plane emoji/CJK-ext)
+    — the three-way value identity is guaranteed for BMP text only;
+    use the default arrow impl for corpora with astral-plane content."""
     if impl == "arrow":
         return _fps_map_in_pandas(
             _kernel_fan_out(df, df.filter(F.length(text_col) >= k)),
