@@ -70,7 +70,10 @@ def main():
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_ex = count_distinct_nodes(plan, "Exchange")
         n_bc = count_distinct_nodes(plan, "BroadcastExchange")
-        py = bool(re.search(r"(ArrowEval|BatchEval|MapInPandas|FlatMapGroupsInPandas)", plan))
+        py = bool(re.search(
+        r"(ArrowEval|BatchEval|MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)",
+        plan,
+    ))
         schemas = sorted(set(re.findall(r"ReadSchema: struct<([^>]*)>", plan)))
         rows.append((name, n_ex, n_bc, "yes" if py else "no", note))
         details.append((name, schemas))
