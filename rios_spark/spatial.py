@@ -347,6 +347,19 @@ KNN_GEMM_BUDGET = 8_000_000
 # (round-2 ADVICE).
 KNN_AUTO_RING_MAX = 16
 
+# Cap for the density-adaptive INTERNAL re-tile (ring="auto"): the
+# candidate join's volume is ~ n_queries * (2r+1)^2 * density(res), so
+# at a fixed caller res it grows LINEARLY with data density — at 100
+# points/cell a ring-1 pass already joins ~900 candidates per query
+# (the sf10 cliff: 1.5M queries x ~880 candidates = 1.3e9 rows into
+# one window sort). Re-tiling internally to the finest res whose 3x3
+# box still expects >= `need` candidates keeps candidates/query ~need
+# at ANY density; the guard/escalation machinery is resolution-
+# agnostic, so exactness is untouched. res 14 = 2.7e8 cells keeps the
+# cell ids well inside the 29-bit x/y encoding while covering data
+# sides up to ~1e9 rows before density per cell climbs again.
+KNN_RETILE_RES_MAX = 14
+
 
 def _quantize_np(dist: np.ndarray, quantize: float) -> np.ndarray:
     """Epsilon-floor a distance array onto the 1/quantize grid — the
@@ -593,7 +606,7 @@ def knn_bruteforce(
     return queries.mapInPandas(kern, schema=out_schema)
 
 
-def _ring_guard_km(res: int, ring, q_lat: str, q_lon: str):
+def _ring_guard_km(res: int, ring, q_lat: str, q_lon: str, cell: str = "cell"):
     """Guaranteed-coverage radius (km) of the `ring`-ring tile box
     around each query's cell: the minimum great-circle distance from
     the query point to any point OUTSIDE the box. Any data point closer
@@ -614,7 +627,7 @@ def _ring_guard_km(res: int, ring, q_lat: str, q_lon: str):
       stress test)."""
     n = float(1 << res)
     cell_h_deg = 180.0 / n
-    rem = F.col("cell") - F.lit(res * (1 << 58)).cast("long")
+    rem = F.col(cell) - F.lit(res * (1 << 58)).cast("long")
     y = F.shiftright(rem, 29)
     x = rem.bitwiseAND(F.lit((1 << 29) - 1).cast("long"))
     box_lat_n = F.lit(90.0) - (y - ring) * F.lit(cell_h_deg)
@@ -648,6 +661,7 @@ def _ring_guard_km(res: int, ring, q_lat: str, q_lon: str):
 def _rank_and_prove(
     cand: DataFrame, part_cols: list[str], k: int, res: int, ring,
     q_lat: str, q_lon: str, quantize: float | None = None,
+    cell: str = "cell",
 ) -> DataFrame:
     """Window top-k + the completeness guard, all inside ONE window
     partitioning (one shuffle): a query's top-k is proven exact iff it
@@ -677,7 +691,7 @@ def _rank_and_prove(
     )
     wp = Window.partitionBy(*keys)
     ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    guard = _ring_guard_km(res, ring, q_lat, q_lon)
+    guard = _ring_guard_km(res, ring, q_lat, q_lon, cell=cell)
     if quantize:
         guard = _quantize_col(guard, quantize)
     return (
@@ -896,18 +910,27 @@ def knn_tiled(
     against sparse data (e.g. 1 point per cell, k=3) proves nothing
     and its join+window cost is pure waste before escalation. The
     guard keeps any ring choice exact — this is performance only.
+    In the same mode the operator also re-tiles INTERNALLY to a finer
+    resolution when the data is dense at the caller's res (see
+    KNN_RETILE_RES_MAX): candidate volume is ~(2r+1)^2 * density per
+    query, so without the re-tile it grows linearly with density (at
+    ~100 points/cell a ring-1 pass is already ~900 candidates/query).
+    The internal cells live in a derived column; the caller's `cell`
+    values pass through to the output untouched, and explicit-ring
+    callers keep the caller resolution exactly as before.
 
     Both query and data DataFrames must already carry a `cell` column
     at `res`.
     """
     import math
 
-    from rios_spark.grid import kring_cells_var_col
+    from rios_spark.grid import cell_col, kring_cells_var_col
     from rios_spark.margin import OWNER, with_margin
 
-    from rios_spark.ann import fast_count
+    from rios_spark.ann import _metadata_row_count, ensure_parallelism, fast_count
 
     n_data = fast_count(data)
+    res_i = res  # internal working resolution (>= res; see below)
     if ring == "auto":
         if k >= n_data:
             # every query's answer is ALL data rows: no ring can prove
@@ -923,7 +946,6 @@ def knn_tiled(
                 queries, pdf, k, q_lat=q_lat, q_lon=q_lon,
                 d_lat="lat", d_lon="lon", d_id="id", quantize=quantize,
             ).withColumn("rank", F.col("rank").cast("int"))
-        density = n_data / float((1 << res) ** 2)
         # target enough expected candidates that the k-th distance sits
         # well inside the guaranteed coverage radius — but cap at a
         # small constant: with_margin duplicates the DATA side
@@ -931,6 +953,17 @@ def knn_tiled(
         # with a huge first ring (need*n^2 exploded rows); escalation
         # and the residual scan handle the tail instead (ADVICE r2)
         need = max(9.0, 4.0 * k)
+        # density-adaptive internal re-tile (see KNN_RETILE_RES_MAX):
+        # never coarser than the caller's res (bench-scale plans are
+        # unchanged), finer only while a 1-ring box still expects
+        # `need` candidates, so the join volume stays ~need per query
+        # instead of scaling with density
+        while (
+            res_i < KNN_RETILE_RES_MAX
+            and 9.0 * n_data / float(4 ** (res_i + 1)) >= need
+        ):
+            res_i += 1
+        density = n_data / float((1 << res_i) ** 2)
         width = math.sqrt(need / max(density, 1e-12))
         ring = max(1, min(int((width - 1) / 2) + 1, KNN_AUTO_RING_MAX))
 
@@ -940,13 +973,31 @@ def knn_tiled(
     # column, and required anyway if query columns aren't unique
     part_cols = [q_id] if q_id else qcols
     out_cols = [*qcols, "neighbor_id", "dist_km", "rank"]
-    d_exp = with_margin(data, res, ring, cell="cell").select(
-        F.col(OWNER).alias("cell"),
+    # internal re-tile: operate on a derived cell column at res_i so the
+    # caller's `cell` values pass through to the output untouched
+    if res_i != res:
+        cell_i = "__cell_i"
+        queries_i = queries.withColumn(cell_i, cell_col(q_lat, q_lon, res_i))
+        data = data.withColumn(cell_i, cell_col(d_lat, d_lon, res_i))
+    else:
+        cell_i = "cell"
+        queries_i = queries
+    # a single-file query table scans as 1-2 partitions, which makes the
+    # candidate join AND the ranking window's partial top-k run on 1-2
+    # cores (the profiled 14 s cold phase at sf1.0 was one task sorting
+    # the whole ~13M-row candidate set); round-robin fan-out first makes
+    # candidate production and the per-partition group-limit full-width.
+    # No-op whenever the scan is already wide (production shape).
+    queries_i = ensure_parallelism(
+        queries_i, rows_hint=_metadata_row_count(queries)
+    )
+    d_exp = with_margin(data, res_i, ring, cell=cell_i).select(
+        F.col(OWNER).alias(cell_i),
         F.col(d_id).alias("neighbor_id"),
         F.col(d_lat).alias("__dlat"),
         F.col(d_lon).alias("__dlon"),
     )
-    cand = queries.join(d_exp, "cell", "left")
+    cand = queries_i.join(d_exp, cell_i, "left")
     # persist the top-k frame (queries x k rows — tiny next to the
     # candidate join producing it): the completeness check below and the
     # final output would otherwise EACH re-execute the join+window
@@ -971,7 +1022,8 @@ def knn_tiled(
 
     ranked = _track(
         _rank_and_prove(
-            cand, part_cols, k, res, ring, q_lat, q_lon, quantize=quantize
+            cand, part_cols, k, res_i, ring, q_lat, q_lon, quantize=quantize,
+            cell=cell_i,
         ).persist()
     )
     outs = [ranked.filter(F.col("__proved")).select(*out_cols)]
@@ -996,7 +1048,7 @@ def knn_tiled(
         track_caches(queries.sparkSession, "knn_tiled", cached)
         return df
 
-    n = 1 << res
+    n = 1 << res_i
     max_radius = max(1, (n - 1) // 2)  # wider would wrap-duplicate in x
     # residue with no usable distance bound (< k candidates seen) or
     # already probed at the radius cap goes straight to the final scan.
@@ -1039,6 +1091,7 @@ def knn_tiled(
     n_bad, n_esc = _residue_stats(bad_keys)
     if counters is not None:
         counters["ring0"] = ring
+        counters["res_internal"] = res_i
         counters["unproven_pass0"] = n_bad
     if n_bad == 0:
         return _finish(_union_all(outs))
@@ -1046,7 +1099,7 @@ def knn_tiled(
     n_residual = 0
     residual_parts: list[DataFrame] = []
     d_plain = data.select(
-        F.col("cell").alias("__probe"),
+        F.col(cell_i).alias("__probe"),
         F.col(d_id).alias("neighbor_id"),
         F.col(d_lat).alias("__dlat"),
         F.col(d_lon).alias("__dlon"),
@@ -1063,7 +1116,7 @@ def knn_tiled(
         if n_esc == 0:
             bad_keys = None
             break
-        esc = queries.join(F.broadcast(bad_keys.filter(esc_pred)), part_cols, "inner")
+        esc = queries_i.join(F.broadcast(bad_keys.filter(esc_pred)), part_cols, "inner")
         # kth distance -> ring radius in cells, inverting the guard's
         # exact spherical edge distances in closed form. Because the
         # query point sits INSIDE its own cell, a ring of R cells
@@ -1095,13 +1148,13 @@ def knn_tiled(
         ).cast("int")
         probe = esc.withColumn("__radius", radius).withColumn(
             "__probe",
-            F.explode(kring_cells_var_col(F.col("cell"), res, F.col("__radius"))),
+            F.explode(kring_cells_var_col(F.col(cell_i), res_i, F.col("__radius"))),
         )
         cand_r = probe.join(d_plain, "__probe", "left").drop("__probe")
         ranked_r = _track(
             _rank_and_prove(
-                cand_r, part_cols, k, res, F.col("__radius"), q_lat, q_lon,
-                quantize=quantize,
+                cand_r, part_cols, k, res_i, F.col("__radius"), q_lat, q_lon,
+                quantize=quantize, cell=cell_i,
             ).persist()
         )
         outs.append(ranked_r.filter(F.col("__proved")).select(*out_cols))
@@ -1269,19 +1322,51 @@ def resample_join(
     An exact-distance-0 match always returns that point's value
     (all kernels peak at 0). Output: all query columns + `resampled`.
     One broadcast of the data side, one window, one groupBy per call.
+    Past KNN_BRUTE_PAIR_BUDGET total query x data pairs the neighbour
+    search dispatches to the tiled+guard path instead of the broadcast
+    kernel (r7; exact either way — see knn_join's gate rationale).
     """
     if method not in RESAMPLE_K:
         raise ValueError(f"unknown resample method {method!r}")
     from rios_spark.ann import _metadata_row_count, ensure_parallelism
 
     k = RESAMPLE_K[method]
-    # a single-file query table scans as ONE partition and would run
-    # the Arrow kernel on one core (the r3 knn_join lesson — this call
-    # site was missed); no-op at scale
-    kn = knn_bruteforce(
-        ensure_parallelism(queries, rows_hint=_metadata_row_count(queries)),
-        data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id,
-    )
+    q_rows = _metadata_row_count(queries)
+    if q_rows is not None and q_rows * len(data) > KNN_BRUTE_PAIR_BUDGET:
+        # blowup-scale dispatch (r7): the broadcast kernel evaluates
+        # Q x N pairs no matter how fast the per-pair GEMM is (measured
+        # 79 s at 1.5e11 pairs), while the tiled+guard path is ~O(Q+N)
+        # and exact. Both bench/correctness scales stay under the
+        # budget (sf1.0 = 1.5e9 pairs), so the measured plan is
+        # untouched; only true-scale inputs reroute. The base res is
+        # coarse — knn_tiled's density-adaptive internal re-tile picks
+        # the working resolution from the data density.
+        from rios_spark.grid import cell_col
+
+        base_res = 3
+        had_cell = "cell" in queries.columns
+        qk = (
+            queries.withColumnRenamed("cell", "__cell_user")
+            if had_cell
+            else queries
+        )
+        qk = qk.withColumn("cell", cell_col(q_lat, q_lon, base_res))
+        dk = queries.sparkSession.createDataFrame(
+            data[[d_id, "lat", "lon"]]
+        ).withColumn("cell", cell_col("lat", "lon", base_res))
+        kn = knn_tiled(
+            qk, dk, k, base_res, d_id=d_id, q_lat=q_lat, q_lon=q_lon,
+        ).drop("cell")
+        if had_cell:
+            kn = kn.withColumnRenamed("__cell_user", "cell")
+    else:
+        # a single-file query table scans as ONE partition and would
+        # run the Arrow kernel on one core (the r3 knn_join lesson —
+        # this call site was missed); no-op at scale
+        kn = knn_bruteforce(
+            ensure_parallelism(queries, rows_hint=q_rows),
+            data, k, q_lat=q_lat, q_lon=q_lon, d_id=d_id,
+        )
     vals = queries.sparkSession.createDataFrame(
         data[[d_id, value_col]].rename(columns={d_id: "neighbor_id", value_col: "__v"})
     )

@@ -167,6 +167,51 @@ def test_knn_tiled_equals_bruteforce(spark):
             assert gd == pytest.approx(wd, rel=1e-9)
 
 
+def test_knn_tiled_internal_retile_exact(spark):
+    """Dense data at a coarse caller res triggers the density-adaptive
+    internal re-tile (ring='auto'); results must stay exact and the
+    caller's cell column must pass through untouched (r7: candidate
+    volume at a fixed res grows linearly with density — the sf10
+    cliff)."""
+    res = 3  # 64 cells; 3000 points -> ~47/cell: retile must fire
+    rng = np.random.default_rng(29)
+    dpts = rng.uniform(-60, 60, (3000, 2))
+    ddf = pd.DataFrame(
+        {"id": np.arange(len(dpts)), "lat": dpts[:, 0], "lon": dpts[:, 1]}
+    )
+    qpts = rng.uniform(-65, 65, (50, 2))
+    qdf = pd.DataFrame({"qid": np.arange(50), "lat": qpts[:, 0], "lon": qpts[:, 1]})
+
+    queries = spark.createDataFrame(qdf).withColumn("cell", cell_col("lat", "lon", res))
+    data = spark.createDataFrame(ddf).withColumn("cell", cell_col("lat", "lon", res))
+
+    counters = {}
+    got = (
+        spatial.knn_tiled(queries, data, 3, res, d_id="id", q_id="qid",
+                          counters=counters)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    # the re-tile fired: 9 * 3000 / 4^r >= 12 holds up to r = 5
+    assert counters["res_internal"] == 5
+    assert len(got) == 50 * 3
+    # caller's res-3 cell values pass through unchanged
+    cell3 = (
+        spark.createDataFrame(qdf)
+        .withColumn("cell", cell_col("lat", "lon", res))
+        .toPandas()
+        .set_index("qid")["cell"]
+    )
+    for qid, grp in got.groupby("qid"):
+        assert (grp["cell"] == cell3[int(qid)]).all()
+    want = _brute_oracle(qdf, ddf, 3)
+    for qid, grp in got.groupby("qid"):
+        pairs = list(zip(grp["neighbor_id"], grp["dist_km"]))
+        for (gi, gd), (wi, wd) in zip(pairs, want[int(qid)]):
+            assert gi == wi, f"qid={qid}: {pairs} vs {want[int(qid)]}"
+            assert gd == pytest.approx(wd, rel=1e-9)
+
+
 def test_nn_resample_equals_array_shift(spark):
     """testresample parity: NN (k=1, euclidean on grid coords) of a
     half-pixel-shifted grid == array shift, exact."""
@@ -235,6 +280,41 @@ def test_resample_bilinear(spark):
         w = 1.0 / d[order]
         want = (w * ddf["v"].to_numpy()[order]).sum() / w.sum()
         assert out.loc[qid, "resampled"] == pytest.approx(want, rel=1e-9)
+
+
+def test_resample_pair_budget_dispatch_exact(spark, monkeypatch, tmp_path):
+    """r7: past KNN_BRUTE_PAIR_BUDGET pairs resample_join's neighbour
+    search reroutes to the tiled+guard path (the broadcast kernel is
+    O(Q x N)); the resampled values must match the brute path. The
+    query side must be parquet-backed for the free metadata count that
+    arms the gate."""
+    rng = np.random.default_rng(41)
+    ddf = pd.DataFrame(
+        {"id": np.arange(400), "lat": rng.uniform(-30, 30, 400),
+         "lon": rng.uniform(-30, 30, 400), "v": rng.normal(0, 5, 400)}
+    )
+    qdf = pd.DataFrame(
+        {"qid": np.arange(60), "lat": rng.uniform(-29, 29, 60),
+         "lon": rng.uniform(-29, 29, 60)}
+    )
+    qpath = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(qdf).write.parquet(qpath)
+    queries = spark.read.parquet(qpath)
+
+    brute = (
+        spatial.resample_join(queries, ddf, "v", method="bilinear", d_id="id")
+        .toPandas().set_index("qid").sort_index()
+    )
+    monkeypatch.setattr(spatial, "KNN_BRUTE_PAIR_BUDGET", 100)  # 60*400 >> 100
+    tiled = (
+        spatial.resample_join(queries, ddf, "v", method="bilinear", d_id="id")
+        .toPandas().set_index("qid").sort_index()
+    )
+    assert len(tiled) == 60
+    for qid in qdf["qid"]:
+        assert tiled.loc[qid, "resampled"] == pytest.approx(
+            brute.loc[qid, "resampled"], rel=1e-9
+        )
 
 
 def test_asof_join_matches_pandas(spark):
