@@ -448,6 +448,18 @@ def _hyperplane_keys(mat: np.ndarray, hv: np.ndarray) -> np.ndarray:
 # path (same rationale as spatial.KNN_GEMM_BUDGET).
 PAIRS_GEMM_BUDGET = 8_000_000
 
+# f32 candidate-pass slack for the exact all-pairs kernel (r7): the
+# N^2 GEMM runs in float32 (2x the FLOP rate, half the matrix
+# bandwidth of dgemm) and shortlists pairs with sim32 >= threshold -
+# slack; the shortlist is then re-verified with an exact float64
+# per-pair dot, which alone decides membership AND supplies the
+# emitted cosine. Unit-norm f64 -> f32 cast error is <= 2^-24 per
+# element and a 64-dim f32 accumulated dot adds <= ~dim * 2^-23 ~
+# 7.6e-6, so |sim32 - sim64| is bounded ~1e-5 for the embedding dims
+# in play — 1e-3 slack is a ~100x margin; a too-big slack only costs
+# a few extra exact verifications, never correctness.
+PAIRS_F32_SLACK = 1e-3
+
 
 def embedding_all_pairs_exact(
     df: DataFrame,
@@ -462,7 +474,9 @@ def embedding_all_pairs_exact(
     Rows hash into ceil(N/block_rows) blocks; every unordered block
     pair (i <= j) is one applyInPandas task holding <= 2*block_rows
     rows, whose similarity matrix is GEMM-chunked to PAIRS_GEMM_BUDGET
-    elements. Each unordered id pair is computed in EXACTLY one task,
+    elements and evaluated as an f32 candidate pass + exact f64
+    per-pair verification (PAIRS_F32_SLACK — membership and the
+    emitted cosine both come from the f64 recompute). Each unordered id pair is computed in EXACTLY one task,
     so no dedup pass is needed and the result is the full pair set —
     the guarantee `embedding_near_dup(planes=0)` advertises, which the
     hot-bucket sparsification cannot honor above max_bucket_rows
@@ -503,41 +517,52 @@ def embedding_all_pairs_exact(
             return _empty_pairs()
         ids = pdf["id"].to_numpy(np.int64)
         mat = _norm_mat(pdf)
+        mat32 = mat.astype(np.float32)
+        thr32 = threshold - PAIRS_F32_SLACK
         outs = []
         if lo == hi:
             step = max(1, PAIRS_GEMM_BUDGET // max(len(pdf), 1))
             for s in range(0, len(pdf), step):
                 e = min(s + step, len(pdf))
-                sim = mat[s:e] @ mat.T
-                ii, jj = np.nonzero(sim >= threshold)
+                sim32 = mat32[s:e] @ mat32.T
+                ii, jj = np.nonzero(sim32 >= thr32)
                 keep = (ii + s) < jj  # strict upper triangle, global idx
                 ii, jj = ii[keep], jj[keep]
+                # exact f64 verification decides membership and the
+                # emitted cosine (see PAIRS_F32_SLACK)
+                sim = np.einsum("ij,ij->i", mat[ii + s], mat[jj])
+                keep = sim >= threshold
+                ii, jj, sim = ii[keep], jj[keep], sim[keep]
                 outs.append(
                     pd.DataFrame(
                         {
                             "id1": np.minimum(ids[ii + s], ids[jj]),
                             "id2": np.maximum(ids[ii + s], ids[jj]),
-                            "cosine": sim[ii, jj],
+                            "cosine": sim,
                         }
                     )
                 )
         else:
             a_m = (pdf["__b"].to_numpy() == lo)
             A, B = mat[a_m], mat[~a_m]
+            A32, B32 = mat32[a_m], mat32[~a_m]
             ida, idb = ids[a_m], ids[~a_m]
             if len(A) == 0 or len(B) == 0:
                 return _empty_pairs()
             step = max(1, PAIRS_GEMM_BUDGET // max(len(B), 1))
             for s in range(0, len(A), step):
                 e = min(s + step, len(A))
-                sim = A[s:e] @ B.T
-                ii, jj = np.nonzero(sim >= threshold)
+                sim32 = A32[s:e] @ B32.T
+                ii, jj = np.nonzero(sim32 >= thr32)
+                sim = np.einsum("ij,ij->i", A[ii + s], B[jj])
+                keep = sim >= threshold
+                ii, jj, sim = ii[keep], jj[keep], sim[keep]
                 outs.append(
                     pd.DataFrame(
                         {
                             "id1": np.minimum(ida[ii + s], idb[jj]),
                             "id2": np.maximum(ida[ii + s], idb[jj]),
-                            "cosine": sim[ii, jj],
+                            "cosine": sim,
                         }
                     )
                 )

@@ -473,6 +473,36 @@ def test_embedding_all_pairs_exact_tiled(spark, embs):
     assert set(zip(via_mode["id1"], via_mode["id2"])) == want
 
 
+def test_embedding_all_pairs_f32_candidate_boundary(spark):
+    """r7: the exact all-pairs kernel runs an f32 candidate GEMM plus
+    an exact f64 per-pair verification. Membership at cosines within
+    1e-9 of the threshold — far inside f32 noise, where a pure-f32
+    decision WOULD misclassify — must match the f64 rule exactly, and
+    every emitted cosine must be the f64 value (>= threshold)."""
+    thr = 0.45
+    angle = np.arccos(thr)
+    # unit 2-D vectors: query at angle 0; partners at angles giving
+    # cosine straddling thr by +-1e-9 and +-1e-5 (inside f32 noise),
+    # plus clear in/out controls
+    deltas = [-1e-9, 1e-9, -1e-5, 1e-5, -0.1, 0.1]
+    angs = [0.0] + [np.arccos(np.clip(thr + d, -1, 1)) for d in deltas]
+    vecs = [[float(np.cos(a)), float(np.sin(a))] for a in angs]
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": vecs})
+    got = dedup.embedding_all_pairs_exact(
+        spark.createDataFrame(pdf), "embedding", "vec_id", thr, block_rows=3
+    ).toPandas()
+    # oracle: the SAME f64 per-pair arithmetic as the kernel's verify
+    m = np.stack([np.asarray(v, np.float64) for v in vecs])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if (m[i] * m[j]).sum() >= thr:
+                want.add((i, j))
+    assert set(zip(got["id1"], got["id2"])) == want
+    assert (got["cosine"] >= thr).all()
+
+
 def test_ivf_persisted_index_search(spark, embs, tmp_path):
     """Persisted IVF index (build once / search many): nprobe == all
     lists is EXACT vs the brute oracle; a small nprobe prunes the
